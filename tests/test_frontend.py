@@ -1,0 +1,133 @@
+"""Frontend numerics: numpy oracle properties + JAX parity.
+
+The numpy oracle in wekws_tpu.frontend.kaldi is the specification
+(Kaldi fbank/MFCC semantics used by the reference training pipeline);
+the batched JAX FeatureExtractor must match it to float32 round-off.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wekws_tpu.frontend import (
+    FrontendConfig,
+    FeatureExtractor,
+    compute_fbank_np,
+    compute_mfcc_np,
+    dct_matrix,
+    mel_banks,
+    num_frames,
+    povey_window,
+)
+
+
+def make_wave(rng, n, sr=16000):
+    # int16-scaled speech-like noise
+    w = rng.standard_normal(n) * 1000.0
+    return w.astype(np.float32)
+
+
+class TestOracle:
+    def test_num_frames_snip_edges(self):
+        cfg = FrontendConfig()
+        assert num_frames(399, cfg) == 0
+        assert num_frames(400, cfg) == 1
+        assert num_frames(560, cfg) == 2
+        assert num_frames(16000, cfg) == 98
+
+    def test_povey_window(self):
+        w = povey_window(400)
+        assert w[0] == 0.0
+        assert abs(w[200] - (0.5 - 0.5 * np.cos(2 * np.pi * 200 / 399)) ** 0.85) < 1e-12
+        assert np.all(w >= 0) and np.all(w <= 1)
+
+    def test_mel_banks_shape_and_coverage(self):
+        bank = mel_banks(40, 512, 16000.0)
+        assert bank.shape == (40, 257)
+        # Nyquist column zero
+        assert np.all(bank[:, -1] == 0)
+        # every filter has positive mass, triangles overlap
+        assert np.all(bank.sum(axis=1) > 0)
+        # each interior fft bin between filter edges is covered
+        covered = bank.sum(axis=0)
+        lo = int(np.ceil(20 / (16000 / 512))) + 2
+        assert np.all(covered[lo:250] > 0)
+
+    def test_pure_tone_peaks_at_expected_mel_bin(self, rng):
+        cfg = FrontendConfig(num_mel_bins=40, dither=0.0)
+        sr = 16000
+        t = np.arange(sr) / sr
+        freq = 1000.0
+        wave = (np.sin(2 * np.pi * freq * t) * 10000).astype(np.float32)
+        feats = compute_fbank_np(wave, cfg)
+        # find which mel filter has max average energy
+        peak_bin = int(np.argmax(feats.mean(axis=0)))
+        # expected: filter whose center is closest to 1kHz
+        bank = mel_banks(40, 512, sr)
+        centers = (bank * np.arange(257) * (sr / 512)).sum(1) / bank.sum(1)
+        expect = int(np.argmin(np.abs(centers - freq)))
+        assert abs(peak_bin - expect) <= 1
+
+    def test_dct_orthonormal(self):
+        d = dct_matrix(40, 40)
+        gram = d.T @ d
+        np.testing.assert_allclose(gram, np.eye(40), atol=1e-10)
+
+    def test_silence_hits_log_floor(self):
+        cfg = FrontendConfig(dither=0.0)
+        wave = np.zeros(1600, np.float32)
+        feats = compute_fbank_np(wave, cfg)
+        floor = np.log(np.finfo(np.float32).eps)
+        np.testing.assert_allclose(feats, floor, rtol=1e-6)
+
+
+class TestJaxParity:
+    @pytest.mark.parametrize("feature_type,bins,ceps", [
+        ("fbank", 40, 40),
+        ("fbank", 80, 80),
+        ("fbank", 23, 23),
+        ("mfcc", 80, 80),
+        ("mfcc", 23, 13),
+    ])
+    def test_matches_oracle(self, rng, feature_type, bins, ceps):
+        cfg = FrontendConfig(
+            feature_type=feature_type, num_mel_bins=bins, num_ceps=ceps,
+            dither=0.0,
+        )
+        fe = FeatureExtractor(cfg)
+        lens = np.array([16000, 12345, 399, 400])
+        smax = int(lens.max())
+        waves = np.zeros((len(lens), smax), np.float32)
+        for i, n in enumerate(lens):
+            waves[i, :n] = make_wave(rng, n)
+        feats, feat_lens = jax.jit(fe)(jnp.asarray(waves), jnp.asarray(lens))
+        feats = np.asarray(feats)
+        feat_lens = np.asarray(feat_lens)
+        for i, n in enumerate(lens):
+            want_fn = compute_mfcc_np if feature_type == "mfcc" else compute_fbank_np
+            want = want_fn(waves[i, :n], cfg)
+            assert feat_lens[i] == want.shape[0]
+            got = feats[i, : want.shape[0]]
+            if want.shape[0]:
+                np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+    def test_dither_changes_output_but_is_bounded(self, rng):
+        cfg = FrontendConfig(dither=1.0)
+        fe = FeatureExtractor(cfg)
+        waves = jnp.asarray(make_wave(rng, 8000)[None, :])
+        lens = jnp.asarray([8000])
+        f1, _ = fe(waves, lens, rng=jax.random.PRNGKey(0))
+        f2, _ = fe(waves, lens, rng=jax.random.PRNGKey(1))
+        f0, _ = fe(waves, lens)
+        assert not np.allclose(np.asarray(f1), np.asarray(f2))
+        # dither=1.0 on int16-scaled audio is a tiny perturbation
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f0), atol=0.5)
+
+    def test_batch_invariance(self, rng):
+        cfg = FrontendConfig(dither=0.0)
+        fe = FeatureExtractor(cfg)
+        w = make_wave(rng, 6400)
+        single, _ = fe(jnp.asarray(w[None]), jnp.asarray([6400]))
+        batched, _ = fe(jnp.asarray(np.stack([w, w * 0.5])), jnp.asarray([6400, 6400]))
+        np.testing.assert_allclose(np.asarray(single[0]), np.asarray(batched[0]), atol=1e-5)

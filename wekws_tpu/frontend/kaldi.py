@@ -1,0 +1,241 @@
+"""Kaldi-compatible feature extraction: the numerics specification.
+
+This module is the single source of truth for the framework's feature
+numerics.  It implements, in plain numpy, the exact log-mel filterbank /
+MFCC pipeline the reference training stack consumes (Kaldi semantics:
+snip_edges framing, per-frame DC removal, pre-emphasis 0.97, povey
+window, power spectrum on a pow2-padded DFT, triangular mel bank from
+20 Hz to Nyquist, natural log with float32-epsilon floor).  The JAX /
+Pallas on-device implementations in ``features.py`` and the C++
+streaming runtime are both validated against this oracle.
+
+Reference behavior being matched (studied, not copied):
+  /root/reference/wekws/dataset/processor.py:173-203 (fbank on
+  wave*(1<<15), dither, energy_floor=0) and the torchaudio Kaldi
+  compliance layer it calls; the C++ runtime variant in
+  /root/reference/runtime/core/frontend/fbank.h:31-218 (which uses a
+  Hamming window — we standardize on the training window, povey, and
+  offer hamming as an option for bit-parity experiments).
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+# float32 machine epsilon: the log floor used by the Kaldi compliance layer.
+EPSILON = float(np.finfo(np.float32).eps)
+MEL_HIGH_FREQ_Q = 1127.0
+MEL_BREAK_FREQ = 700.0
+
+
+def mel_scale(freq):
+    return MEL_HIGH_FREQ_Q * np.log(1.0 + np.asarray(freq, np.float64) / MEL_BREAK_FREQ)
+
+
+def inverse_mel_scale(mel):
+    return MEL_BREAK_FREQ * (np.exp(np.asarray(mel, np.float64) / MEL_HIGH_FREQ_Q) - 1.0)
+
+
+def next_power_of_two(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def povey_window(window_size: int) -> np.ndarray:
+    """Povey window: hann(periodic=False) ** 0.85."""
+    n = np.arange(window_size, dtype=np.float64)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (window_size - 1))
+    return (hann ** 0.85).astype(np.float64)
+
+
+def hamming_window(window_size: int) -> np.ndarray:
+    n = np.arange(window_size, dtype=np.float64)
+    return 0.54 - 0.46 * np.cos(2.0 * np.pi * n / (window_size - 1))
+
+
+def hanning_window(window_size: int) -> np.ndarray:
+    n = np.arange(window_size, dtype=np.float64)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (window_size - 1))
+
+
+_WINDOWS = {
+    "povey": povey_window,
+    "hamming": hamming_window,
+    "hanning": hanning_window,
+}
+
+
+def mel_banks(
+    num_bins: int,
+    window_length_padded: int,
+    sample_freq: float,
+    low_freq: float = 20.0,
+    high_freq: float = 0.0,
+) -> np.ndarray:
+    """Triangular mel filterbank, Kaldi-style.
+
+    Returns (num_bins, window_length_padded // 2 + 1); the final (Nyquist)
+    column is zero, matching the Kaldi compliance layer's zero-padding of
+    the (num_bins, num_fft_bins) bank.
+    """
+    assert num_bins >= 3
+    num_fft_bins = window_length_padded // 2
+    nyquist = 0.5 * sample_freq
+    if high_freq <= 0.0:
+        high_freq = nyquist + high_freq
+    assert 0.0 <= low_freq < high_freq <= nyquist
+
+    fft_bin_width = sample_freq / window_length_padded
+    mel_low = mel_scale(low_freq)
+    mel_high = mel_scale(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+
+    bin_idx = np.arange(num_bins, dtype=np.float64)[:, None]
+    left_mel = mel_low + bin_idx * mel_delta
+    center_mel = left_mel + mel_delta
+    right_mel = center_mel + mel_delta
+
+    freqs = fft_bin_width * np.arange(num_fft_bins, dtype=np.float64)[None, :]
+    mel = mel_scale(freqs)
+
+    up_slope = (mel - left_mel) / (center_mel - left_mel)
+    down_slope = (right_mel - mel) / (right_mel - center_mel)
+    bank = np.maximum(0.0, np.minimum(up_slope, down_slope))
+    # Zero column for the Nyquist bin so the bank applies to the full
+    # one-sided spectrum of length num_fft_bins + 1.
+    return np.concatenate(
+        [bank, np.zeros((num_bins, 1), dtype=np.float64)], axis=1
+    )
+
+
+def dct_matrix(num_ceps: int, num_mel_bins: int) -> np.ndarray:
+    """Kaldi's normalized DCT-II matrix, (num_mel_bins, num_ceps)."""
+    m = np.arange(num_mel_bins, dtype=np.float64)[:, None]
+    k = np.arange(num_mel_bins, dtype=np.float64)[None, :]
+    dct = np.sqrt(2.0 / num_mel_bins) * np.cos(
+        np.pi / num_mel_bins * (m + 0.5) * k
+    )
+    dct[:, 0] = np.sqrt(1.0 / num_mel_bins)
+    return dct[:, :num_ceps]
+
+
+def lifter_coeffs(num_ceps: int, q: float = 22.0) -> np.ndarray:
+    i = np.arange(num_ceps, dtype=np.float64)
+    return 1.0 + 0.5 * q * np.sin(np.pi * i / q)
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    """Configuration of the feature frontend (Kaldi semantics)."""
+
+    feature_type: str = "fbank"  # 'fbank' | 'mfcc'
+    sample_rate: int = 16000
+    num_mel_bins: int = 40
+    num_ceps: int = 40  # mfcc only
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    dither: float = 0.0
+    low_freq: float = 20.0
+    high_freq: float = 0.0
+    preemphasis: float = 0.97
+    remove_dc_offset: bool = True
+    window_type: str = "povey"
+    round_to_power_of_two: bool = True
+    snip_edges: bool = True
+    use_power: bool = True
+    use_log_fbank: bool = True
+    cepstral_lifter: float = 22.0
+    # The training pipeline feeds int16-scaled waveforms (wave * 2^15).
+    wave_scale: float = float(1 << 15)
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms / 1000.0)
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.sample_rate * self.frame_shift_ms / 1000.0)
+
+    @property
+    def padded_window_size(self) -> int:
+        if self.round_to_power_of_two:
+            return next_power_of_two(self.frame_length)
+        return self.frame_length
+
+    @property
+    def feat_dim(self) -> int:
+        return self.num_ceps if self.feature_type == "mfcc" else self.num_mel_bins
+
+    def window(self) -> np.ndarray:
+        return _WINDOWS[self.window_type](self.frame_length)
+
+
+def num_frames(num_samples: int, cfg: FrontendConfig) -> int:
+    if cfg.snip_edges:
+        if num_samples < cfg.frame_length:
+            return 0
+        return 1 + (num_samples - cfg.frame_length) // cfg.frame_shift
+    return (num_samples + cfg.frame_shift // 2) // cfg.frame_shift
+
+
+def _frames(wave: np.ndarray, cfg: FrontendConfig) -> np.ndarray:
+    m = num_frames(len(wave), cfg)
+    shift, length = cfg.frame_shift, cfg.frame_length
+    idx = np.arange(m)[:, None] * shift + np.arange(length)[None, :]
+    return wave[idx].astype(np.float64)
+
+
+def _windowed_frames(
+    wave: np.ndarray, cfg: FrontendConfig, rng: Optional[np.random.Generator] = None
+) -> np.ndarray:
+    frames = _frames(wave, cfg)
+    if cfg.dither != 0.0 and rng is not None:
+        frames = frames + cfg.dither * rng.standard_normal(frames.shape)
+    if cfg.remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if cfg.preemphasis != 0.0:
+        prev = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - cfg.preemphasis * prev
+    return frames * cfg.window()[None, :]
+
+
+def compute_fbank_np(
+    wave: np.ndarray,
+    cfg: FrontendConfig,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Log-mel filterbank of a 1-D waveform (already wave_scale'd).
+
+    Returns (num_frames, num_mel_bins) float32.
+    """
+    frames = _windowed_frames(np.asarray(wave, np.float64), cfg)
+    if frames.shape[0] == 0:
+        return np.zeros((0, cfg.num_mel_bins), np.float32)
+    n = cfg.padded_window_size
+    spec = np.fft.rfft(frames, n=n, axis=1)
+    power = (spec.real ** 2 + spec.imag ** 2)
+    if not cfg.use_power:
+        power = np.sqrt(power)
+    bank = mel_banks(
+        cfg.num_mel_bins, n, cfg.sample_rate, cfg.low_freq, cfg.high_freq
+    )
+    mel = power @ bank.T
+    if cfg.use_log_fbank:
+        mel = np.log(np.maximum(mel, EPSILON))
+    return mel.astype(np.float32)
+
+
+def compute_mfcc_np(
+    wave: np.ndarray,
+    cfg: FrontendConfig,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Kaldi MFCC: log-mel fbank -> DCT -> cepstral liftering."""
+    logmel = compute_fbank_np(wave, cfg, rng).astype(np.float64)
+    feats = logmel @ dct_matrix(cfg.num_ceps, cfg.num_mel_bins)
+    if cfg.cepstral_lifter != 0.0:
+        feats = feats * lifter_coeffs(cfg.num_ceps, cfg.cepstral_lifter)[None, :]
+    return feats.astype(np.float32)
