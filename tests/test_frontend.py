@@ -130,4 +130,6 @@ class TestJaxParity:
         w = make_wave(rng, 6400)
         single, _ = fe(jnp.asarray(w[None]), jnp.asarray([6400]))
         batched, _ = fe(jnp.asarray(np.stack([w, w * 0.5])), jnp.asarray([6400, 6400]))
-        np.testing.assert_allclose(np.asarray(single[0]), np.asarray(batched[0]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(single[0]), np.asarray(batched[0]), atol=1e-4, rtol=1e-5
+        )

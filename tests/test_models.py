@@ -1,0 +1,238 @@
+"""Model zoo tests: shapes, streaming equivalence, factory parity.
+
+The load-bearing property is *streaming equivalence*: a chunked forward
+pass that round-trips the cache must be numerically identical to the
+full-utterance forward (the reference implies this property in its
+__main__ smoke tests, e.g. /root/reference/wekws/model/mdtc.py:279-295;
+we make it a real test).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wekws_tpu.models import (
+    FSMN,
+    GRU,
+    MDTC,
+    TCN,
+    KWSModel,
+    init_model,
+)
+from wekws_tpu.models.cache import cache_shape, concat_cache, split_cache
+
+
+def rand(key, *shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32)
+
+
+def make_backbone(kind):
+    if kind == "tcn":
+        return TCN(num_layers=4, channel=64, kernel_size=8, ds=False)
+    if kind == "ds_tcn":
+        return TCN(num_layers=4, channel=64, kernel_size=8, ds=True)
+    if kind == "mdtc":
+        return MDTC(
+            stack_num=3, stack_size=4, in_channels=64, res_channels=64,
+            kernel_size=5,
+        )
+    if kind == "fsmn":
+        return FSMN(
+            input_affine_dim=140, fsmn_layers=4, linear_dim=250, proj_dim=128,
+            lorder=10, rorder=2, lstride=1, rstride=1,
+            output_affine_dim=140, output_dim=8,
+        )
+    if kind == "gru":
+        return GRU(hidden_dim=64, num_layers=2)
+    raise ValueError(kind)
+
+
+BACKBONES = ["tcn", "ds_tcn", "mdtc", "fsmn", "gru"]
+
+
+class TestBackbones:
+    @pytest.mark.parametrize("kind", BACKBONES)
+    def test_forward_shapes(self, kind):
+        model = make_backbone(kind)
+        x = rand(0, 2, 40, 64 if kind != "fsmn" else 400)
+        if kind == "fsmn":
+            x = rand(0, 2, 40, 400)
+        variables = model.init(jax.random.PRNGKey(1), x)
+        y, cache = model.apply(variables, x)
+        assert y.shape[0] == 2 and y.shape[1] == 40
+        # default (None) cache equals the zero init_cache
+        y2, _ = model.apply(variables, x, model.init_cache(2))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-6)
+
+    @pytest.mark.parametrize("kind", BACKBONES)
+    def test_streaming_equivalence(self, kind):
+        model = make_backbone(kind)
+        b, t, d = 2, 60, (400 if kind == "fsmn" else 64)
+        x = rand(2, b, t, d) * 0.5
+        variables = model.init(jax.random.PRNGKey(3), x)
+
+        full, _ = model.apply(variables, x)
+
+        chunk = 12
+        cache = model.init_cache(b)
+        outs = []
+        for s in range(0, t, chunk):
+            y, cache = model.apply(variables, x[:, s : s + chunk, :], cache)
+            outs.append(y)
+        streamed = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(full), np.asarray(streamed), atol=1e-4, rtol=1e-4
+        )
+
+    @pytest.mark.parametrize("kind", ["tcn", "mdtc", "fsmn"])
+    def test_cache_pack_roundtrip(self, kind):
+        model = make_backbone(kind)
+        cache = model.init_cache(3)
+        packed = concat_cache(cache)
+        paddings = [c.shape[1] for c in cache]
+        unpacked = split_cache(packed, paddings)
+        assert len(unpacked) == len(cache)
+        for a, b_ in zip(cache, unpacked):
+            assert a.shape == b_.shape
+        frames, dim = cache_shape(cache)
+        assert frames == sum(paddings)
+
+    def test_tcn_receptive_field(self):
+        tcn = TCN(num_layers=4, channel=64, kernel_size=8)
+        # sum of (k-1)*2^i = 7 * (1+2+4+8) = 105
+        assert tcn.padding == 105
+
+    def test_mdtc_receptive_field(self):
+        mdtc = MDTC(
+            stack_num=4, stack_size=4, in_channels=64, res_channels=64,
+            kernel_size=5,
+        )
+        # preprocessor 4 + 4 stacks * 4*(1+2+4+8) = 4 + 240
+        assert mdtc.padding == 4 + 4 * 4 * 15
+
+    def test_gru_matches_reference_equations(self):
+        """One GRU step equals the torch gate equations computed by hand."""
+        model = GRU(hidden_dim=8, num_layers=1)
+        x = rand(5, 1, 3, 8)
+        variables = model.init(jax.random.PRNGKey(6), x)
+        p = variables["params"]["layer_0"]
+        w_ih = np.asarray(p["ih"]["kernel"])  # (D, 3H)
+        b_ih = np.asarray(p["ih"]["bias"])
+        w_hh = np.asarray(p["hh_kernel"])  # (H, 3H)
+        b_hh = np.asarray(p["hh_bias"])
+        xs = np.asarray(x)[0]
+        h = np.zeros(8, np.float32)
+        want = []
+        for tstep in range(3):
+            gi = xs[tstep] @ w_ih + b_ih
+            gh = h @ w_hh + b_hh
+            xr, xz, xn = np.split(gi, 3)
+            hr, hz, hn = np.split(gh, 3)
+            r = 1 / (1 + np.exp(-(xr + hr)))
+            z = 1 / (1 + np.exp(-(xz + hz)))
+            n = np.tanh(xn + r * hn)
+            h = (1 - z) * n + z * h
+            want.append(h.copy())
+        got, _ = model.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(got)[0], np.stack(want), atol=1e-5
+        )
+
+
+def model_configs():
+    return {
+        "ds_tcn_sigmoid": {
+            "input_dim": 40, "output_dim": 1, "hidden_dim": 64,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "tcn", "ds": True, "num_layers": 4,
+                         "kernel_size": 8, "dropout": 0.1},
+        },
+        "mdtc_global": {
+            "input_dim": 40, "output_dim": 12, "hidden_dim": 64,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "mdtc", "num_stack": 4, "stack_size": 4,
+                         "kernel_size": 5, "hidden_dim": 64, "causal": True},
+            "classifier": {"type": "global", "dropout": 0.1},
+        },
+        "fsmn_ctc": {
+            "input_dim": 400, "output_dim": 9, "hidden_dim": 128,
+            "preprocessing": {"type": "none"},
+            "backbone": {"type": "fsmn", "input_affine_dim": 140,
+                         "num_layers": 4, "linear_dim": 250, "proj_dim": 128,
+                         "left_order": 10, "right_order": 2,
+                         "left_stride": 1, "right_stride": 1,
+                         "output_affine_dim": 140},
+            "classifier": {"type": "identity", "dropout": 0.1},
+            "activation": {"type": "identity"},
+        },
+        "gru_sigmoid": {
+            "input_dim": 40, "output_dim": 2, "hidden_dim": 128,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "gru", "num_layers": 2},
+        },
+    }
+
+
+class TestKWSModel:
+    @pytest.mark.parametrize("name", list(model_configs().keys()))
+    def test_factory_forward(self, name):
+        cfg = model_configs()[name]
+        model = init_model(cfg)
+        x = rand(7, 2, 50, cfg["input_dim"])
+        lengths = jnp.asarray([50, 30])
+        variables = model.init(jax.random.PRNGKey(8), x)
+        out, cache = model.apply(variables, x, lengths=lengths)
+        assert out.shape[0] == 2
+        if name == "ds_tcn_sigmoid":
+            assert out.shape == (2, 50, 1)
+            assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+        elif name == "mdtc_global":
+            assert out.shape == (2, 12)
+        elif name == "fsmn_ctc":
+            assert out.shape == (2, 50, 9)
+        elif name == "gru_sigmoid":
+            assert out.shape == (2, 50, 2)
+
+    def test_sigmoid_model_streams(self):
+        cfg = model_configs()["ds_tcn_sigmoid"]
+        model = init_model(cfg)
+        x = rand(9, 1, 40, 40)
+        variables = model.init(jax.random.PRNGKey(10), x)
+        full, _ = model.apply(variables, x)
+        cache = model.init_cache(1)
+        outs = []
+        for s in range(0, 40, 10):
+            y, cache = model.apply(variables, x[:, s : s + 10, :], cache)
+            outs.append(y)
+        np.testing.assert_allclose(
+            np.asarray(full),
+            np.asarray(jnp.concatenate(outs, axis=1)),
+            atol=1e-5,
+        )
+
+    def test_param_count_ballpark(self):
+        """DS-TCN hey-snips config is a ~20-30k parameter model."""
+        cfg = model_configs()["ds_tcn_sigmoid"]
+        model = init_model(cfg)
+        x = rand(11, 1, 20, 40)
+        variables = model.init(jax.random.PRNGKey(12), x)
+        n = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"])
+        )
+        assert 15_000 < n < 40_000, n
+
+    def test_train_mode_runs_with_dropout_and_bn(self):
+        cfg = model_configs()["mdtc_global"]
+        model = init_model(cfg)
+        x = rand(13, 4, 30, 40)
+        variables = model.init(jax.random.PRNGKey(14), x)
+        out, _ = model.apply(
+            variables,
+            x,
+            lengths=jnp.asarray([30, 30, 20, 10]),
+            train=True,
+            rngs={"dropout": jax.random.PRNGKey(15)},
+            mutable=["batch_stats"],
+        )

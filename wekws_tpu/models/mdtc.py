@@ -1,0 +1,156 @@
+"""Multi-scale Depthwise Temporal Convolution (MDTC) backbone.
+
+Behavioral equivalent of the reference MDTC
+(/root/reference/wekws/model/mdtc.py:23-276), TPU-first layout
+(feature-last, pytree cache — see tcn.py for the rationale):
+
+* ``TCNBlock``: DS dilated conv (depthwise -> BN -> pointwise), then
+  BN -> ReLU -> 1x1 conv -> BN, residual add when channels match,
+  final ReLU (mdtc.py:108-121);
+* ``TCNStack``: blocks with dilations ``2^0 .. 2^(stack_size-1)``;
+* ``MDTC``: a dilation-1 preprocessor block (+ReLU), then ``num_stack``
+  stacks whose outputs are **summed** — multi-scale feature aggregation
+  (mdtc.py:270-274).  Only causal mode is supported, like the
+  reference (mdtc.py:224).
+
+Cache is a flat tuple over all blocks in network order:
+[preprocessor, stack0.block0, stack0.block1, ..., stackN.blockM].
+"""
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class DSDilatedConv1d(nn.Module):
+    """Dilated depthwise-separable conv: DW conv -> BN -> pointwise."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(
+            self.in_channels,
+            (self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            feature_group_count=self.in_channels,
+            padding="VALID",
+            name="dw_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn",
+        )(x)
+        x = nn.Conv(self.out_channels, (1,), padding="VALID", name="pw_conv")(x)
+        return x
+
+
+class TCNBlock(nn.Module):
+    in_channels: int
+    res_channels: int
+    kernel_size: int
+    dilation: int
+
+    @property
+    def padding(self) -> int:
+        return (self.kernel_size - 1) * self.dilation
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, cache: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        y = jnp.concatenate([cache, x], axis=1)
+        new_cache = y[:, -self.padding:, :]
+        y = DSDilatedConv1d(
+            self.in_channels,
+            self.res_channels,
+            self.kernel_size,
+            self.dilation,
+            name="conv1",
+        )(y, train)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn1",
+        )(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.res_channels, (1,), padding="VALID", name="conv2")(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name="bn2",
+        )(y)
+        if self.in_channels == self.res_channels:
+            y = y + x
+        return nn.relu(y), new_cache
+
+
+class MDTC(nn.Module):
+    stack_num: int
+    stack_size: int
+    in_channels: int
+    res_channels: int
+    kernel_size: int
+    causal: bool = True
+
+    def setup(self):
+        assert self.kernel_size % 2 == 1
+        assert self.causal, "only causal MDTC is supported"
+
+    @property
+    def block_specs(self) -> Sequence[Tuple[int, int]]:
+        """(in_channels, dilation) of every block, network order."""
+        specs = [(self.in_channels, 1)]  # preprocessor
+        for _ in range(self.stack_num):
+            for i in range(self.stack_size):
+                specs.append((self.res_channels, 2 ** i))
+        return tuple(specs)
+
+    @property
+    def paddings(self) -> Sequence[int]:
+        return tuple(
+            (self.kernel_size - 1) * d for _, d in self.block_specs
+        )
+
+    @property
+    def padding(self) -> int:
+        """Receptive field (mdtc.py:233-240)."""
+        return sum(self.paddings)
+
+    def init_cache(self, batch_size: int, dtype=jnp.float32):
+        return tuple(
+            jnp.zeros((batch_size, (self.kernel_size - 1) * d, c), dtype)
+            for c, d in self.block_specs
+        )
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, cache=None, train: bool = False
+    ) -> Tuple[jnp.ndarray, tuple]:
+        if cache is None:
+            cache = self.init_cache(x.shape[0], x.dtype)
+        new_caches = []
+        y, c = TCNBlock(
+            self.in_channels, self.res_channels, self.kernel_size, 1,
+            name="preprocessor",
+        )(x, cache[0], train)
+        y = nn.relu(y)
+        new_caches.append(c)
+        outputs = None
+        idx = 1
+        for s in range(self.stack_num):
+            for i in range(self.stack_size):
+                y, c = TCNBlock(
+                    self.res_channels,
+                    self.res_channels,
+                    self.kernel_size,
+                    2 ** i,
+                    name=f"stack_{s}_block_{i}",
+                )(y, cache[idx], train)
+                new_caches.append(c)
+                idx += 1
+            # multi-scale aggregation: sum each stack's output
+            outputs = y if outputs is None else outputs + y
+        return outputs, tuple(new_caches)
