@@ -1,0 +1,90 @@
+"""Training-throughput benchmark (flagship MDTC wake-word config).
+
+Measures steady-state jitted train-step throughput — on-device fbank +
+spec_aug + MDTC forward/backward + Adam — in audio-seconds processed
+per wall-clock second per chip.  This is the framework's north-star
+metric (BASELINE.json): the reference publishes no throughput numbers
+(SURVEY.md §6), so ``vs_baseline`` is reported against the target
+recorded in BASELINE.json ("published" -> "train_audio_s_per_s_chip"),
+defaulting to 1.0 on first measurement.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+    from wekws_tpu.models import init_model
+    from wekws_tpu.parallel import make_mesh
+    from wekws_tpu.train import Trainer
+
+    n_devices = len(jax.devices())
+    mesh = make_mesh()
+    model = init_model(FLAGSHIP_MODEL_CONF)
+    pipeline = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=True)
+    cv_pipeline = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=False)
+    trainer = Trainer(
+        model, pipeline, cv_pipeline, "max_pooling",
+        learning_rate=1e-3, grad_clip=5.0, min_duration=5,
+    )
+
+    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", 256))
+    seconds_per_utt = float(os.environ.get("BENCH_UTT_SECONDS", 2.0))
+    b = batch_per_chip * n_devices
+    s = int(16000 * seconds_per_utt)
+    rng = np.random.default_rng(0)
+    batch = {
+        "waves": (rng.standard_normal((b, s)) * 1000).astype(np.float32),
+        "wave_lengths": np.full((b,), s, np.int32),
+        "target": (np.arange(b) % 2 - 1).astype(np.int32),
+        "target_lengths": np.ones((b,), np.int32),
+    }
+
+    from wekws_tpu.parallel import shard_batch
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    device_batch = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+
+    audio_seconds = b * seconds_per_utt * iters
+    value = audio_seconds / elapsed / n_devices
+
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "BASELINE.json")) as f:
+            baseline = json.load(f).get("published", {}).get(
+                "train_audio_s_per_s_chip"
+            )
+    except Exception:
+        pass
+    vs = value / baseline if baseline else 1.0
+    print(json.dumps({
+        "metric": "train_audio_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

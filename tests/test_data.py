@@ -1,0 +1,201 @@
+"""Data pipeline tests: host stages, blob store, device pipeline."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wekws_tpu.data import init_dataset
+from wekws_tpu.data.audio import read_wav, resample, speed_perturb, write_wav
+from wekws_tpu.data.blobstore import BlobData, BlobWriter
+from wekws_tpu.data.dataset import DataList, scrub_conf
+from wekws_tpu.data.device_pipeline import (
+    DeviceFeaturePipeline,
+    context_expansion,
+    frame_skip,
+    spec_aug,
+)
+from wekws_tpu.data import processor
+
+
+def write_tone(path, freq, n, sr=16000, amp=0.3):
+    t = np.arange(n) / sr
+    write_wav(path, (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32), sr)
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    """Six tiny wavs + data.list with integer labels."""
+    lines = []
+    for i in range(6):
+        p = tmp_path / f"u{i}.wav"
+        write_tone(str(p), 300 + 100 * i, 8000 + 1600 * i)
+        lines.append(
+            json.dumps(
+                {"key": f"u{i}", "txt": str(i % 3), "wav": str(p)}
+            )
+        )
+    lst = tmp_path / "data.list"
+    lst.write_text("\n".join(lines))
+    return str(lst)
+
+
+class TestAudio:
+    def test_wav_roundtrip(self, tmp_path, rng):
+        w = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        path = str(tmp_path / "x.wav")
+        write_wav(path, w, 16000)
+        got, sr = read_wav(path)
+        assert sr == 16000
+        np.testing.assert_allclose(got, w, atol=1e-4)
+
+    def test_resample_halves_length(self, rng):
+        w = rng.standard_normal(16000).astype(np.float32)
+        out = resample(w, 16000, 8000)
+        assert abs(len(out) - 8000) <= 1
+
+    def test_speed_perturb_lengths(self, rng):
+        w = rng.standard_normal(16000).astype(np.float32)
+        assert abs(len(speed_perturb(w, 0.9)) - 16000 / 0.9) < 20
+        assert abs(len(speed_perturb(w, 1.1)) - 16000 / 1.1) < 20
+        assert speed_perturb(w, 1.0) is w
+
+
+class TestBlobStore:
+    def test_roundtrip_and_random(self, tmp_path):
+        path = str(tmp_path / "store")
+        with BlobWriter(path) as w:
+            for i in range(5):
+                w.put(f"noise_{i}", bytes([i]) * (i + 1))
+        store = BlobData(path, seed=0)
+        assert len(store) == 5
+        key, val = store.get(2)
+        assert key == "noise_2" and val == b"\x02\x02\x02"
+        keys = {store.random_one()[0] for _ in range(50)}
+        assert len(keys) > 1
+
+
+class TestDataList:
+    def test_sharding_partitions_disjoint(self):
+        lines = [str(i) for i in range(10)]
+        seen = []
+        for r in range(2):
+            dl = DataList(lines, shuffle=True, rank=r, world_size=2)
+            dl.set_epoch(3)
+            seen.append({s["src"] for s in dl})
+        assert seen[0] | seen[1] == set(lines)
+        assert not (seen[0] & seen[1])
+
+    def test_epoch_reshuffles(self):
+        lines = [str(i) for i in range(20)]
+        dl = DataList(lines, shuffle=True, rank=0, world_size=1)
+        dl.set_epoch(0)
+        a = [s["src"] for s in dl]
+        dl.set_epoch(1)
+        b = [s["src"] for s in dl]
+        assert a != b and sorted(a) == sorted(b)
+
+
+class TestDataset:
+    def test_end_to_end_batches(self, corpus):
+        conf = {
+            "filter_conf": {"max_length": 2048, "min_length": 0},
+            "resample_conf": {"resample_rate": 16000},
+            "shuffle": False,
+            "batch_conf": {"batch_size": 4, "bucket_samples": 8000},
+        }
+        ds = init_dataset(corpus, conf, split="train_noshuffle",
+                          rank=0, world_size=1)
+        batches = list(ds)
+        assert len(batches) == 2
+        b0 = batches[0]
+        assert b0["waves"].shape[0] == 4
+        assert b0["waves"].shape[1] % 8000 == 0
+        assert b0["target"].shape == (4,)
+        # int16 scaling applied
+        assert np.abs(b0["waves"]).max() > 100
+        # padding beyond lengths is zero
+        i = int(np.argmin(b0["wave_lengths"]))
+        assert np.all(b0["waves"][i, b0["wave_lengths"][i]:] == 0)
+
+    def test_scrub_conf(self):
+        conf = {
+            "speed_perturb": True, "spec_aug": True, "shuffle": True,
+            "noise_prob": 0.5, "reverb_prob": 0.5,
+            "fbank_conf": {"dither": 1.0},
+        }
+        scrub_conf(conf)
+        assert not conf["speed_perturb"] and not conf["spec_aug"]
+        assert conf["fbank_conf"]["dither"] == 0.0
+
+    def test_token_labels(self, tmp_path, corpus):
+        tok = tmp_path / "tokens.txt"
+        tok.write_text("<blank> 0\na 1\nb 2\n")
+        from wekws_tpu.text import CharTokenizer
+
+        tokenizer = CharTokenizer(str(tok), unk="<blank>")
+        samples = [{"key": "k", "txt": "ab", "wav": np.zeros(100, np.float32),
+                    "sample_rate": 16000}]
+        out = list(processor.tokenize(iter(samples), tokenizer))
+        assert out[0]["label"] == [1, 2]
+
+
+class TestDevicePipeline:
+    def test_context_expansion_semantics(self):
+        # manual check of splice-with-clamp + drop-right
+        t, d = 5, 2
+        x = jnp.arange(t * d, dtype=jnp.float32).reshape(1, t, d)
+        out = context_expansion(x, left=1, right=1)
+        assert out.shape == (1, t - 1, d * 3)
+        # frame 0: left context clamped to frame 0
+        np.testing.assert_array_equal(
+            np.asarray(out[0, 0]),
+            np.concatenate([x[0, 0], x[0, 0], x[0, 1]]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[0, 2]),
+            np.concatenate([x[0, 1], x[0, 2], x[0, 3]]),
+        )
+
+    def test_frame_skip(self):
+        x = jnp.arange(10, dtype=jnp.float32).reshape(1, 10, 1)
+        out = frame_skip(x, 3)
+        np.testing.assert_array_equal(
+            np.asarray(out[0, :, 0]), [0, 3, 6, 9]
+        )
+
+    def test_spec_aug_masks_and_preserves(self, rng):
+        x = jnp.ones((2, 50, 40))
+        out = spec_aug(jax.random.PRNGKey(0), x, 1, 1, 10, 5)
+        arr = np.asarray(out)
+        assert ((arr == 0) | (arr == 1)).all()
+        assert (arr == 0).any()
+        # masking differs across batch entries (per-utterance randomness)
+        assert not np.array_equal(arr[0], arr[1])
+
+    def test_pipeline_from_conf(self):
+        conf = {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 40, "frame_shift": 10,
+                           "frame_length": 25, "dither": 1.0},
+            "context_expansion": True,
+            "context_expansion_conf": {"left": 2, "right": 2},
+            "frame_skip": 3,
+            "spec_aug": True,
+            "spec_aug_conf": {"num_t_mask": 1, "num_f_mask": 1,
+                              "max_t": 20, "max_f": 10},
+        }
+        pipe = DeviceFeaturePipeline.from_conf(conf, training=True)
+        assert pipe.output_dim == 40 * 5
+        waves = jnp.zeros((2, 16000)) + 100.0
+        lengths = jnp.asarray([16000, 8000])
+        feats, flens = jax.jit(pipe)(waves, lengths, jax.random.PRNGKey(1))
+        assert feats.shape[0] == 2 and feats.shape[2] == 200
+        # length formula: frames=98 -> -right=96 -> ceil(/3)=32
+        assert int(flens[0]) == 32
+        cv_pipe = DeviceFeaturePipeline.from_conf(conf, training=False)
+        assert cv_pipe.spec_aug_conf is None
+        assert cv_pipe.extractor.cfg.dither == 0.0

@@ -17,6 +17,36 @@ import optax
 from wekws_tpu.losses.mask import padding_mask
 
 
+def max_pooling_per_utt(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    lengths: jnp.ndarray,
+    min_duration: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-utterance (loss, correct) vectors — see max_pooling_loss."""
+    b, t, k = logits.shape
+    pad = padding_mask(lengths, t)  # (B, T) True=pad
+
+    pos_mask = pad | (jnp.arange(t)[None, :] < min_duration)  # (B, T)
+    pos_prob = jnp.where(pos_mask[:, :, None], 0.0, logits)
+    max_prob = jnp.clip(jnp.max(pos_prob, axis=1), 1e-8, 1.0)  # (B, K)
+    pos_loss = -jnp.log(max_prob)
+
+    neg_prob = jnp.where(pad[:, :, None], 1.0, 1.0 - logits)
+    min_prob = jnp.clip(jnp.min(neg_prob, axis=1), 1e-8, 1.0)  # (B, K)
+    neg_loss = -jnp.log(min_prob)
+
+    is_target = target[:, None] == jnp.arange(k)[None, :]  # (B, K)
+    loss_b = jnp.sum(jnp.where(is_target, pos_loss, neg_loss), axis=1)
+
+    masked = jnp.where(pad[:, :, None], 0.0, logits)
+    peak = jnp.max(masked, axis=1)  # (B, K)
+    max_p = jnp.max(peak, axis=1)
+    idx = jnp.argmax(peak, axis=1)
+    correct = ((max_p > 0.5) & (idx == target)) | ((max_p < 0.5) & (target < 0))
+    return loss_b, correct.astype(jnp.float32)
+
+
 def max_pooling_loss(
     logits: jnp.ndarray,
     target: jnp.ndarray,
@@ -38,31 +68,8 @@ def max_pooling_loss(
     Returns:
         (scalar loss, scalar accuracy)
     """
-    b, t, k = logits.shape
-    pad = padding_mask(lengths, t)  # (B, T) True=pad
-
-    # positive (max-pooling) path per (utt, keyword)
-    pos_mask = pad | (jnp.arange(t)[None, :] < min_duration)  # (B, T)
-    pos_prob = jnp.where(pos_mask[:, :, None], 0.0, logits)
-    max_prob = jnp.clip(jnp.max(pos_prob, axis=1), 1e-8, 1.0)  # (B, K)
-    pos_loss = -jnp.log(max_prob)
-
-    # negative (min-pooling) path
-    neg_prob = jnp.where(pad[:, :, None], 1.0, 1.0 - logits)
-    min_prob = jnp.clip(jnp.min(neg_prob, axis=1), 1e-8, 1.0)  # (B, K)
-    neg_loss = -jnp.log(min_prob)
-
-    is_target = target[:, None] == jnp.arange(k)[None, :]  # (B, K)
-    loss = jnp.sum(jnp.where(is_target, pos_loss, neg_loss)) / b
-
-    # accuracy at 0.5 threshold (loss.py:73-86)
-    masked = jnp.where(pad[:, :, None], 0.0, logits)
-    peak = jnp.max(masked, axis=1)  # (B, K)
-    max_p = jnp.max(peak, axis=1)
-    idx = jnp.argmax(peak, axis=1)
-    correct = ((max_p > 0.5) & (idx == target)) | ((max_p < 0.5) & (target < 0))
-    acc = jnp.mean(correct.astype(jnp.float32))
-    return loss, acc
+    loss_b, correct = max_pooling_per_utt(logits, target, lengths, min_duration)
+    return jnp.mean(loss_b), jnp.mean(correct)
 
 
 def acc_frame(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
@@ -125,4 +132,35 @@ def criterion(
         return max_pooling_loss(logits, target, lengths, min_duration)
     if loss_type == "ctc":
         return ctc_loss(logits, target, lengths, target_lengths)
+    raise ValueError(f"unknown criterion {loss_type}")
+
+
+def criterion_per_utt(
+    loss_type: str,
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    lengths: jnp.ndarray,
+    target_lengths: Optional[jnp.ndarray] = None,
+    min_duration: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-utterance (loss, correct) vectors for exact CV accumulation
+    over sharded batches with padding (executor masks invalid rows)."""
+    if loss_type == "ce":
+        loss_b = optax.softmax_cross_entropy_with_integer_labels(
+            logits, target.astype(jnp.int32)
+        )
+        correct = (jnp.argmax(logits, axis=-1) == target).astype(jnp.float32)
+        return loss_b, correct
+    if loss_type == "max_pooling":
+        return max_pooling_per_utt(logits, target, lengths, min_duration)
+    if loss_type == "ctc":
+        t = logits.shape[1]
+        u = target.shape[1]
+        logit_pad = padding_mask(lengths, t).astype(jnp.float32)
+        label_pad = padding_mask(target_lengths, u).astype(jnp.float32)
+        loss_b = optax.ctc_loss(
+            logits, logit_pad, target.astype(jnp.int32), label_pad,
+            blank_id=0,
+        )
+        return loss_b, jnp.zeros_like(loss_b)
     raise ValueError(f"unknown criterion {loss_type}")

@@ -102,6 +102,13 @@ def init_model(configs: dict) -> KWSModel:
             istd=np.asarray(istd),
             norm_var=cmvn_conf.get("norm_var", True),
         )
+    elif cmvn_conf.get("mean") is not None:
+        # inline stats (tests / programmatic use)
+        global_cmvn = GlobalCMVN(
+            mean=np.asarray(cmvn_conf["mean"], np.float32),
+            istd=np.asarray(cmvn_conf["istd"], np.float32),
+            norm_var=cmvn_conf.get("norm_var", True),
+        )
 
     input_dim = configs["input_dim"]
     output_dim = configs["output_dim"]

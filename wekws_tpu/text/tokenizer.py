@@ -117,13 +117,22 @@ class CharTokenizer:
         strs = []
         ids = []
         unk_id = self.token_table.get(self.unk)
-        for u in self.units(text):
+
+        def emit(u: str):
             if u in self.token_table:
                 strs.append(u)
                 ids.append(self.token_table[u])
             elif unk_id is not None:
                 strs.append(self.unk)
                 ids.append(unk_id)
+
+        for u in self.units(text):
+            if u in self.token_table or len(u) == 1:
+                emit(u)
+            else:
+                # char-level fallback for OOV multi-char units
+                for ch in u:
+                    emit(ch)
         return strs, ids
 
     def detokenize(self, ids: Sequence[int]) -> List[str]:

@@ -1,0 +1,108 @@
+"""Epoch-level training driver.
+
+Equivalent of the reference Executor
+(/root/reference/wekws/utils/executor.py:23-115): one-epoch train loop
+and cv loop with loss/acc accumulation (non-finite cv losses excluded,
+executor.py:103).  Batches are sharded over the data mesh axis; cv
+batches are padded to a device-count multiple with a validity mask so
+remainder batches stay exact.
+"""
+
+import logging
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from wekws_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
+
+
+class Executor:
+    def __init__(self, trainer, mesh, log_interval: int = 10):
+        self.trainer = trainer
+        self.mesh = mesh
+        self.log_interval = log_interval
+        self.n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def _prepare(self, batch: Dict) -> Dict:
+        batch = pad_batch_to_multiple(batch, self.n_devices)
+        arrays = {
+            k: v for k, v in batch.items() if isinstance(v, np.ndarray)
+        }
+        return shard_batch(arrays, self.mesh)
+
+    def train(
+        self, state, dataset, rng: jax.Array, lr: float, epoch: int
+    ) -> Tuple[object, Dict[str, float]]:
+        losses, accs, audio_seconds = [], [], 0.0
+        start = time.time()
+        n_batches = 0
+        for idx, batch in enumerate(dataset):
+            audio_seconds += float(batch["wave_lengths"].sum()) / 16000.0
+            device_batch = self._prepare(batch)
+            state, metrics = self.trainer.train_step(
+                state, device_batch, rng, lr
+            )
+            n_batches += 1
+            if idx % self.log_interval == 0:
+                m = jax.device_get(metrics)
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
+                logging.info(
+                    "Epoch %d batch %d loss %.6f acc %.4f lr %.6g%s",
+                    epoch, idx, m["loss"], m["acc"], lr,
+                    " SKIPPED(non-finite)" if m["skipped"] else "",
+                )
+        elapsed = max(time.time() - start, 1e-9)
+        summary = {
+            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "batches": n_batches,
+            "audio_seconds_per_s": audio_seconds / elapsed,
+        }
+        return state, summary
+
+    def cv(
+        self, state, dataset, epoch: int = 0, decode_acc: bool = False
+    ) -> Dict[str, float]:
+        """Validation: exact per-utterance accumulation.
+
+        ``decode_acc`` additionally runs the host-side CTC prefix-beam
+        decode accuracy (reference loss.py:102-132), which is slow."""
+        total_loss, total_correct, total_utts = 0.0, 0.0, 0
+        decode_hits: Optional[list] = [] if decode_acc else None
+        for batch in dataset:
+            b_real = batch["waves"].shape[0]
+            device_batch = self._prepare(batch)
+            out = jax.device_get(self.trainer.cv_step(state, device_batch))
+            loss_b = out["loss_b"][:b_real]
+            correct_b = out["correct_b"][:b_real]
+            finite = np.isfinite(loss_b)
+            total_loss += float(loss_b[finite].sum())
+            total_correct += float(correct_b[finite].sum())
+            total_utts += int(finite.sum())
+            if decode_acc and "log_probs" in out:
+                from wekws_tpu.decode import acc_utterance
+
+                probs = np.exp(out["log_probs"][:b_real])
+                decode_hits.append(
+                    acc_utterance(
+                        probs,
+                        batch["target"],
+                        out["feat_lengths"][:b_real],
+                        batch["target_lengths"],
+                    )
+                )
+        result = {
+            "cv_loss": total_loss / max(total_utts, 1),
+            "cv_acc": total_correct / max(total_utts, 1),
+            "utts": total_utts,
+        }
+        if decode_acc and decode_hits:
+            result["cv_decode_acc"] = float(np.mean(decode_hits))
+        logging.info(
+            "Epoch %d CV loss %.6f acc %.4f (%d utts)",
+            epoch, result["cv_loss"], result["cv_acc"], total_utts,
+        )
+        return result
