@@ -1,0 +1,193 @@
+"""Streaming runtime tests.
+
+Key property: the chunk-incremental frontend + cached model forward
+produce the same posteriors as the offline device pipeline + full
+forward, so streaming detection matches offline scoring.
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+from wekws_tpu.frontend.kaldi import FrontendConfig
+from wekws_tpu.runtime import KeyWordSpotter, StreamingFrontend
+
+
+class TestStreamingFrontend:
+    @pytest.mark.parametrize("left,right,skip", [
+        (0, 0, 1),
+        (2, 2, 1),
+        (2, 2, 3),
+        (1, 0, 2),
+    ])
+    def test_matches_offline_pipeline(self, rng, left, right, skip):
+        cfg = FrontendConfig(num_mel_bins=23, dither=0.0)
+        wave = (rng.standard_normal(16000 * 2) * 1000).astype(np.float32)
+
+        conf = {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 0.0},
+            "frame_skip": skip,
+        }
+        if left or right:
+            conf["context_expansion"] = True
+            conf["context_expansion_conf"] = {"left": left, "right": right}
+        offline = DeviceFeaturePipeline.from_conf(conf, training=False)
+        off_feats, off_len = offline(
+            wave[None, :], np.array([len(wave)], np.int32)
+        )
+        off_feats = np.asarray(off_feats)[0, : int(off_len[0])]
+
+        sf = StreamingFrontend(cfg, left, right, skip)
+        chunks = []
+        indices = []
+        for start in range(0, len(wave), 4800):  # 0.3 s chunks
+            f, idx = sf.accept_waveform(wave[start : start + 4800])
+            if len(f):
+                chunks.append(f)
+                indices.append(idx)
+        streamed = np.concatenate(chunks, axis=0)
+        idx = np.concatenate(indices)
+
+        n = min(len(streamed), len(off_feats))
+        assert n > 50
+        np.testing.assert_allclose(
+            streamed[:n], off_feats[:n], atol=2e-3, rtol=1e-4
+        )
+        # absolute frame indices are the global skip grid
+        np.testing.assert_array_equal(idx % skip, 0)
+        np.testing.assert_array_equal(np.diff(idx), skip)
+
+    def test_tiny_chunks_accumulate(self, rng):
+        cfg = FrontendConfig(num_mel_bins=23, dither=0.0)
+        sf = StreamingFrontend(cfg)
+        wave = (rng.standard_normal(8000) * 1000).astype(np.float32)
+        total = 0
+        for start in range(0, len(wave), 160):  # 10ms chunks
+            f, _ = sf.accept_waveform(wave[start : start + 160])
+            total += len(f)
+        # full wave has 48 frames; streaming may lag by the last frame
+        assert total >= 47
+
+
+@pytest.fixture
+def spotter_setup(tmp_path):
+    """Tiny trained-ish model artifacts for KeyWordSpotter."""
+    from wekws_tpu.models import init_model
+    from wekws_tpu.train import save_checkpoint
+
+    configs = {
+        "dataset_conf": {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 1.0},
+        },
+        "model": {
+            "input_dim": 23, "output_dim": 4, "hidden_dim": 16,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
+                         "kernel_size": 4, "dropout": 0.0},
+            "classifier": {"type": "element", "dropout": 0.0},
+            "activation": {"type": "identity"},
+        },
+    }
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(yaml.dump(configs))
+    model = init_model(configs["model"])
+    feats0 = np.zeros((1, 10, 23), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats0)
+    ckpt = tmp_path / "final.ckpt"
+    save_checkpoint(
+        str(ckpt), variables["params"], variables.get("batch_stats", {})
+    )
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("<blk> 0\nh 1\ni 2\nx 3\n")
+    return str(ckpt), str(config_path), str(tokens)
+
+
+class TestKeyWordSpotter:
+    def test_streaming_forward_runs(self, spotter_setup, rng):
+        ckpt, config, tokens = spotter_setup
+        spotter = KeyWordSpotter(
+            ckpt, config, tokens, None, threshold=0.5
+        )
+        spotter.set_keywords("hi")
+        assert spotter.keywords_token["hi"]["token_id"] == (1, 2)
+        pcm = (rng.standard_normal(16000) * 1000).astype("<i2").tobytes()
+        for off in range(0, len(pcm), 9600):
+            result = spotter.forward(pcm[off : off + 9600])
+        assert spotter.total_frames > 0
+        assert isinstance(result, dict)
+
+    def test_detection_fsm_fires_on_injected_posteriors(self, spotter_setup):
+        """Replace the model with deterministic posteriors spelling the
+        keyword and check the FSM's gates."""
+        ckpt, config, tokens = spotter_setup
+        spotter = KeyWordSpotter(
+            ckpt, config, tokens, None,
+            threshold=0.3, min_frames=1, max_frames=250,
+        )
+        spotter.set_keywords("hi")
+
+        v = 4
+        frames = {10: 1, 30: 2}  # 'h' at frame 10, 'i' at frame 30
+
+        def fake_apply(feats, cache):
+            t = feats.shape[1]
+            probs = np.full((1, t, v), 0.001, np.float32)
+            probs[:, :, 0] = 0.9
+            for i in range(t):
+                absolute = spotter._frame_indices[i]
+                if absolute in frames:
+                    probs[0, i, 0] = 0.05
+                    probs[0, i, frames[absolute]] = 0.9
+            return probs, cache
+
+        spotter._apply = fake_apply
+        pcm = np.zeros(16000, np.float32)
+        pcm_bytes = (pcm * 100).astype("<i2").tobytes()
+        activated = None
+        for off in range(0, len(pcm_bytes), 9600):
+            result = spotter.forward(pcm_bytes[off : off + 9600])
+            if result and result.get("state") == 1:
+                activated = result
+        assert activated is not None
+        assert activated["keyword"] == "hi"
+        # start/end in seconds at 10ms resolution
+        assert abs(activated["start"] - 0.10) < 0.02
+        assert abs(activated["end"] - 0.30) < 0.02
+        assert activated["score"] > 0.5
+
+    def test_threshold_gate_blocks(self, spotter_setup):
+        ckpt, config, tokens = spotter_setup
+        spotter = KeyWordSpotter(
+            ckpt, config, tokens, None,
+            threshold=0.99, min_frames=1,
+        )
+        spotter.set_keywords("hi")
+
+        def fake_apply(feats, cache):
+            t = feats.shape[1]
+            probs = np.full((1, t, 4), 0.001, np.float32)
+            probs[:, :, 0] = 0.9
+            for i in range(t):
+                a = spotter._frame_indices[i]
+                if a == 10:
+                    probs[0, i, 0] = 0.3
+                    probs[0, i, 1] = 0.6
+                if a == 30:
+                    probs[0, i, 0] = 0.3
+                    probs[0, i, 2] = 0.6
+            return probs, cache
+
+        spotter._apply = fake_apply
+        pcm_bytes = np.zeros(16000, "<i2").tobytes()
+        for off in range(0, len(pcm_bytes), 9600):
+            result = spotter.forward(pcm_bytes[off : off + 9600])
+        # sqrt(0.6*0.6)=0.6 < 0.99 -> never activates
+        assert not result or result.get("state") == 0
