@@ -1,0 +1,142 @@
+"""Export parity: graph artifact == flax forward (the runtime contract).
+
+Analog of the reference's ONNX parity assertion
+(export_onnx.py:79-94, atol 1e-6; BN folding costs us ~1e-4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wekws_tpu.export import GraphRuntime, export_model
+from wekws_tpu.models import init_model
+
+
+CONFIGS = {
+    "ds_tcn_sigmoid": {
+        "input_dim": 40, "output_dim": 2, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "tcn", "ds": True, "num_layers": 3,
+                     "kernel_size": 8, "dropout": 0.0},
+    },
+    "tcn_sigmoid": {
+        "input_dim": 40, "output_dim": 1, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "tcn", "ds": False, "num_layers": 2,
+                     "kernel_size": 4, "dropout": 0.0},
+    },
+    "mdtc_ctc": {
+        "input_dim": 40, "output_dim": 8, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "mdtc", "num_stack": 2, "stack_size": 3,
+                     "kernel_size": 5, "hidden_dim": 32, "causal": True},
+        "classifier": {"type": "element", "dropout": 0.0},
+        "activation": {"type": "identity"},
+    },
+    "fsmn_ctc": {
+        "input_dim": 80, "output_dim": 8, "hidden_dim": 64,
+        "preprocessing": {"type": "none"},
+        "backbone": {"type": "fsmn", "input_affine_dim": 32,
+                     "num_layers": 2, "linear_dim": 64, "proj_dim": 32,
+                     "left_order": 5, "right_order": 2, "left_stride": 1,
+                     "right_stride": 1, "output_affine_dim": 32},
+        "classifier": {"type": "identity", "dropout": 0.0},
+        "activation": {"type": "identity"},
+    },
+    "gru_sigmoid": {
+        "input_dim": 40, "output_dim": 2, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "gru", "num_layers": 2},
+    },
+    "mdtc_global_ce": {
+        "input_dim": 40, "output_dim": 5, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "mdtc", "num_stack": 2, "stack_size": 2,
+                     "kernel_size": 5, "hidden_dim": 32, "causal": True},
+        "classifier": {"type": "global", "dropout": 0.0},
+    },
+}
+
+
+def export_setup(name, tmp_path, seed=0):
+    cfg = CONFIGS[name]
+    model = init_model(cfg)
+    x = jax.random.normal(
+        jax.random.PRNGKey(seed), (1, 40, cfg["input_dim"])
+    )
+    variables = model.init(jax.random.PRNGKey(seed + 1), x)
+    # perturb batch_stats away from init so BN folding is actually tested
+    if "batch_stats" in variables and variables["batch_stats"]:
+        stats = jax.tree_util.tree_map(
+            lambda a: a + 0.05 * jnp.arange(a.size, dtype=a.dtype)
+            .reshape(a.shape) / max(a.size, 1),
+            variables["batch_stats"],
+        )
+        variables = {"params": variables["params"], "batch_stats": stats}
+    out_dir = str(tmp_path / name)
+    export_model(model, variables, {"model": cfg, "dataset_conf": {}},
+                 out_dir)
+    return model, variables, np.asarray(x), out_dir
+
+
+@pytest.mark.parametrize("name", list(CONFIGS.keys()))
+def test_artifact_matches_flax(name, tmp_path):
+    model, variables, x, out_dir = export_setup(name, tmp_path)
+    want, _ = model.apply(variables, jnp.asarray(x))
+    want = np.asarray(want)
+
+    rt = GraphRuntime(out_dir)
+    got, _ = rt.forward(x[0])
+    if want.ndim == 3:
+        got = got[None]
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("name", [
+    "ds_tcn_sigmoid", "tcn_sigmoid", "mdtc_ctc", "fsmn_ctc", "gru_sigmoid",
+])
+def test_artifact_streams(name, tmp_path):
+    """Chunked graph execution with cache state == full forward."""
+    model, variables, x, out_dir = export_setup(name, tmp_path, seed=3)
+    rt = GraphRuntime(out_dir)
+    full, _ = rt.forward(x[0])
+    state = rt.init_state()
+    outs = []
+    for s in range(0, x.shape[1], 7):
+        y, state = rt.forward(x[0, s : s + 7], state)
+        outs.append(y)
+    streamed = np.concatenate(outs, axis=0)
+    np.testing.assert_allclose(streamed, full, atol=1e-5, rtol=1e-4)
+
+
+def test_cache_metadata(tmp_path):
+    model, variables, x, out_dir = export_setup("ds_tcn_sigmoid", tmp_path)
+    rt = GraphRuntime(out_dir)
+    # 3 ds-tcn layers, kernel 8: caches 7, 14, 28
+    assert [c["len"] for c in rt.caches] == [7, 14, 28]
+    assert rt.meta["cache_len"] == 49
+    assert rt.meta["cache_dim"] == 32
+    assert rt.meta["output_dim"] == 2
+
+
+def test_quantized_artifact_close_and_smaller(tmp_path):
+    import os
+
+    from wekws_tpu.export.quantize import quantize_artifact
+
+    model, variables, x, out_dir = export_setup("ds_tcn_sigmoid", tmp_path)
+    qdir = str(tmp_path / "quant")
+    quantize_artifact(out_dir, qdir)
+
+    f32 = GraphRuntime(out_dir)
+    q = GraphRuntime(qdir)
+    want, _ = f32.forward(x[0])
+    got, _ = q.forward(x[0])
+    # sigmoid posteriors: int8 weight error stays small
+    np.testing.assert_allclose(got, want, atol=0.05)
+
+    orig = os.path.getsize(os.path.join(out_dir, "weights.bin"))
+    quant = os.path.getsize(
+        os.path.join(qdir, "weights.bin")
+    ) + os.path.getsize(os.path.join(qdir, "weights_int8.bin"))
+    assert quant < orig * 0.5
