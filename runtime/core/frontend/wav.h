@@ -1,0 +1,142 @@
+// Minimal RIFF/WAV reader+writer (16-bit PCM focus, skips unknown
+// subchunks, handles extended fmt).  Same role as the reference's
+// wav.h (/root/reference/runtime/core/frontend/wav.h) — fresh code.
+#ifndef WEKWS_TPU_FRONTEND_WAV_H_
+#define WEKWS_TPU_FRONTEND_WAV_H_
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include "utils/log.h"
+
+namespace wekws {
+
+class WavReader {
+ public:
+  explicit WavReader(const std::string& path) { WEKWS_CHECK(Load(path)); }
+
+  int sample_rate() const { return sample_rate_; }
+  int num_channels() const { return num_channels_; }
+  // Mono samples in int16 scale (channel 0 when multi-channel).
+  const std::vector<float>& data() const { return data_; }
+
+ private:
+  bool Load(const std::string& path) {
+    FILE* fp = std::fopen(path.c_str(), "rb");
+    if (fp == nullptr) {
+      LOG_ERROR << "cannot open " << path;
+      return false;
+    }
+    char riff[4], wave[4];
+    uint32_t riff_size = 0;
+    if (std::fread(riff, 1, 4, fp) != 4 ||
+        std::fread(&riff_size, 4, 1, fp) != 1 ||
+        std::fread(wave, 1, 4, fp) != 4 ||
+        std::memcmp(riff, "RIFF", 4) != 0 ||
+        std::memcmp(wave, "WAVE", 4) != 0) {
+      std::fclose(fp);
+      LOG_ERROR << "not a RIFF/WAVE file: " << path;
+      return false;
+    }
+    uint16_t format = 0, channels = 0, bits = 0;
+    uint32_t rate = 0;
+    bool got_fmt = false;
+    while (true) {
+      char id[4];
+      uint32_t size = 0;
+      if (std::fread(id, 1, 4, fp) != 4 || std::fread(&size, 4, 1, fp) != 1) {
+        break;
+      }
+      if (std::memcmp(id, "fmt ", 4) == 0) {
+        uint16_t block_align = 0;
+        uint32_t byte_rate = 0;
+        std::fread(&format, 2, 1, fp);
+        std::fread(&channels, 2, 1, fp);
+        std::fread(&rate, 4, 1, fp);
+        std::fread(&byte_rate, 4, 1, fp);
+        std::fread(&block_align, 2, 1, fp);
+        std::fread(&bits, 2, 1, fp);
+        if (size > 16) std::fseek(fp, size - 16, SEEK_CUR);
+        got_fmt = true;
+      } else if (std::memcmp(id, "data", 4) == 0) {
+        WEKWS_CHECK(got_fmt) << "data chunk before fmt";
+        const int bytes_per_sample = bits / 8;
+        const size_t n = size / bytes_per_sample;
+        std::vector<char> raw(size);
+        size_t read = std::fread(raw.data(), 1, size, fp);
+        const size_t samples = read / bytes_per_sample;
+        data_.reserve(samples / channels);
+        for (size_t i = 0; i < samples; i += channels) {
+          float v = 0.0f;
+          if (bits == 16) {
+            int16_t s;
+            std::memcpy(&s, raw.data() + i * 2, 2);
+            v = static_cast<float>(s);
+          } else if (bits == 32) {
+            int32_t s;
+            std::memcpy(&s, raw.data() + i * 4, 4);
+            v = static_cast<float>(s) / 65536.0f;
+          } else if (bits == 8) {
+            v = (static_cast<float>(
+                     static_cast<unsigned char>(raw[i])) - 128.0f) * 256.0f;
+          }
+          data_.push_back(v);
+        }
+        (void)n;
+        break;
+      } else {
+        std::fseek(fp, size + (size & 1), SEEK_CUR);  // skip (word align)
+      }
+    }
+    std::fclose(fp);
+    sample_rate_ = static_cast<int>(rate);
+    num_channels_ = channels;
+    return got_fmt && !data_.empty();
+  }
+
+  int sample_rate_ = 0;
+  int num_channels_ = 0;
+  std::vector<float> data_;
+};
+
+class WavWriter {
+ public:
+  // samples in int16 scale
+  static void Write(const std::string& path, const std::vector<float>& data,
+                    int sample_rate) {
+    FILE* fp = std::fopen(path.c_str(), "wb");
+    WEKWS_CHECK(fp != nullptr) << "cannot open " << path;
+    const uint32_t data_size = static_cast<uint32_t>(data.size() * 2);
+    const uint32_t riff_size = 36 + data_size;
+    const uint16_t one = 1, channels = 1, bits = 16;
+    const uint32_t rate = sample_rate, byte_rate = sample_rate * 2;
+    const uint16_t block_align = 2;
+    const uint32_t fmt_size = 16;
+    std::fwrite("RIFF", 1, 4, fp);
+    std::fwrite(&riff_size, 4, 1, fp);
+    std::fwrite("WAVE", 1, 4, fp);
+    std::fwrite("fmt ", 1, 4, fp);
+    std::fwrite(&fmt_size, 4, 1, fp);
+    std::fwrite(&one, 2, 1, fp);
+    std::fwrite(&channels, 2, 1, fp);
+    std::fwrite(&rate, 4, 1, fp);
+    std::fwrite(&byte_rate, 4, 1, fp);
+    std::fwrite(&block_align, 2, 1, fp);
+    std::fwrite(&bits, 2, 1, fp);
+    std::fwrite("data", 1, 4, fp);
+    std::fwrite(&data_size, 4, 1, fp);
+    for (float v : data) {
+      int16_t s = static_cast<int16_t>(
+          std::max(-32768.0f, std::min(32767.0f, v)));
+      std::fwrite(&s, 2, 1, fp);
+    }
+    std::fclose(fp);
+  }
+};
+
+}  // namespace wekws
+
+#endif  // WEKWS_TPU_FRONTEND_WAV_H_

@@ -1,0 +1,169 @@
+"""C++ runtime parity: native engine == Python pipeline + flax model.
+
+Builds the runtime (cmake+ninja/make) if needed, exports a model
+artifact, streams a waveform through the C API via ctypes, and checks
+the per-frame posteriors against the offline Python path — the
+train/runtime parity gate of SURVEY.md §7 step 9.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import jax
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILD_DIR = os.path.join(REPO, "runtime", "build")
+LIB = os.path.join(BUILD_DIR, "libwekws_capi.so")
+
+
+@pytest.fixture(scope="module")
+def capi():
+    if not os.path.exists(LIB):
+        os.makedirs(BUILD_DIR, exist_ok=True)
+        try:
+            subprocess.run(
+                ["cmake", "..", "-G", "Ninja"], cwd=BUILD_DIR, check=True,
+                capture_output=True,
+            )
+            subprocess.run(
+                ["ninja"], cwd=BUILD_DIR, check=True, capture_output=True
+            )
+        except (OSError, subprocess.CalledProcessError) as e:
+            pytest.skip(f"cannot build C++ runtime: {e}")
+    lib = ctypes.CDLL(LIB)
+    lib.wekws_create.restype = ctypes.c_void_p
+    lib.wekws_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+    lib.wekws_free.argtypes = [ctypes.c_void_p]
+    lib.wekws_output_dim.argtypes = [ctypes.c_void_p]
+    lib.wekws_cache_len.argtypes = [ctypes.c_void_p]
+    lib.wekws_accept_waveform.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.wekws_set_input_finished.argtypes = [ctypes.c_void_p]
+    lib.wekws_decode.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.wekws_reset.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def export_tiny_model(tmp_path, with_context=False, mfcc=False):
+    from wekws_tpu.export import export_model
+    from wekws_tpu.models import init_model
+
+    dataset_conf = {
+        "feats_type": "mfcc" if mfcc else "fbank",
+        ("mfcc_conf" if mfcc else "fbank_conf"): {
+            "num_mel_bins": 23, "num_ceps": 23,
+            "frame_shift": 10, "frame_length": 25, "dither": 1.0,
+        },
+    }
+    input_dim = 23
+    if with_context:
+        dataset_conf["context_expansion"] = True
+        dataset_conf["context_expansion_conf"] = {"left": 2, "right": 2}
+        dataset_conf["frame_skip"] = 3
+        input_dim = 23 * 5
+    model_conf = {
+        "input_dim": input_dim, "output_dim": 3, "hidden_dim": 16,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
+                     "kernel_size": 4, "dropout": 0.0},
+    }
+    model = init_model(model_conf)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 20, input_dim))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    out_dir = str(tmp_path / "artifact")
+    export_model(
+        model, variables,
+        {"model": model_conf, "dataset_conf": dataset_conf}, out_dir,
+    )
+    return model, variables, dataset_conf, out_dir
+
+
+def run_capi(capi, out_dir, wave, chunk=4800, softmax=False):
+    h = capi.wekws_create(out_dir.encode(), 1 if softmax else 0)
+    assert h, "wekws_create failed"
+    try:
+        dim = capi.wekws_output_dim(h)
+        for s in range(0, len(wave), chunk):
+            seg = np.ascontiguousarray(wave[s : s + chunk], np.float32)
+            capi.wekws_accept_waveform(
+                h, seg.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                len(seg),
+            )
+        capi.wekws_set_input_finished(h)
+        rows = []
+        idxs = []
+        buf = np.zeros((64, dim), np.float32)
+        idx = np.zeros(64, np.int64)
+        while True:
+            n = capi.wekws_decode(
+                h, 64, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+            if n == 0:
+                break
+            rows.append(buf[:n].copy())
+            idxs.append(idx[:n].copy())
+        return np.concatenate(rows), np.concatenate(idxs)
+    finally:
+        capi.wekws_free(h)
+
+
+@pytest.mark.parametrize("with_context,mfcc", [
+    (False, False), (True, False), (False, True),
+])
+def test_cpp_matches_python(capi, tmp_path, rng, with_context, mfcc):
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+
+    model, variables, dataset_conf, out_dir = export_tiny_model(
+        tmp_path, with_context, mfcc
+    )
+    wave = (rng.standard_normal(16000) * 1000).astype(np.float32)
+
+    got, idx = run_capi(capi, out_dir, wave)
+
+    pipeline = DeviceFeaturePipeline.from_conf(dataset_conf, training=False)
+    feats, flens = pipeline(wave[None, :], np.array([len(wave)], np.int32))
+    want, _ = model.apply(variables, feats)
+    want = np.asarray(want)[0, : int(flens[0])]
+
+    n = min(len(got), len(want))
+    assert n > 20
+    np.testing.assert_allclose(got[:n], want[:n], atol=2e-3, rtol=1e-3)
+    skip = dataset_conf.get("frame_skip", 1)
+    np.testing.assert_array_equal(np.diff(idx), skip)
+
+
+def test_cpp_quantized_artifact(capi, tmp_path, rng):
+    from wekws_tpu.export.quantize import quantize_artifact
+
+    model, variables, dataset_conf, out_dir = export_tiny_model(tmp_path)
+    qdir = str(tmp_path / "quant")
+    quantize_artifact(out_dir, qdir)
+    wave = (rng.standard_normal(16000) * 1000).astype(np.float32)
+    f32, _ = run_capi(capi, out_dir, wave)
+    q, _ = run_capi(capi, qdir, wave)
+    np.testing.assert_allclose(q, f32, atol=0.05)
+
+
+def test_kws_main_binary(capi, tmp_path, rng):
+    from wekws_tpu.data.audio import write_wav
+
+    _, _, _, out_dir = export_tiny_model(tmp_path)
+    wav_path = str(tmp_path / "x.wav")
+    write_wav(wav_path, rng.standard_normal(16000).astype(np.float32) * 0.05,
+              16000)
+    exe = os.path.join(BUILD_DIR, "kws_main")
+    result = subprocess.run(
+        [exe, out_dir, wav_path, "40"], capture_output=True, text=True,
+        check=True,
+    )
+    lines = [l for l in result.stdout.splitlines() if l.startswith("frame")]
+    assert len(lines) == 98
+    assert all(len(l.split()) == 2 + 3 for l in lines)

@@ -335,7 +335,66 @@ def export_model(model, variables, configs: dict, out_dir: str) -> dict:
     flat.astype("<f4").tofile(os.path.join(out_dir, "weights.bin"))
     with open(os.path.join(out_dir, "model.json"), "w") as f:
         json.dump(artifact, f)
+    _write_text_format(artifact, os.path.join(out_dir, "model.txt"))
     return artifact
+
+
+def _write_text_format(artifact: dict, path: str) -> None:
+    """Line-based artifact description for the C++ runtime (no JSON
+    dependency).  Grammar (space-separated, one record per line):
+
+      version 1
+      meta <output_buf> <output_dim> <cache_len> <cache_dim> <activation>
+      feature <key> <value>            (repeated; frontend parameters)
+      cache <id> <len> <dim>           (repeated)
+      op <name> <out_buf> <n_in> <in..> [a <key> <val>]* [w <name> <off>
+          <ndim> <dims..>]*
+    """
+    meta = artifact["meta"]
+    lines = ["version 1"]
+    lines.append(
+        "meta {} {} {} {} {}".format(
+            meta["output"], meta["output_dim"], meta["cache_len"],
+            meta["cache_dim"], meta["activation"],
+        )
+    )
+    dconf = meta.get("dataset_conf", {})
+    if dconf:
+        from wekws_tpu.frontend.features import frontend_from_dataset_conf
+
+        cfg = frontend_from_dataset_conf(dconf).cfg
+        lines.append(f"feature feature_type {cfg.feature_type}")
+        lines.append(f"feature sample_rate {cfg.sample_rate}")
+        lines.append(f"feature num_mel_bins {cfg.num_mel_bins}")
+        lines.append(f"feature num_ceps {cfg.num_ceps}")
+        lines.append(f"feature frame_length_ms {cfg.frame_length_ms:g}")
+        lines.append(f"feature frame_shift_ms {cfg.frame_shift_ms:g}")
+        ce = dconf.get("context_expansion_conf", {}) \
+            if dconf.get("context_expansion") else {}
+        lines.append(f"feature context_left {ce.get('left', 0)}")
+        lines.append(f"feature context_right {ce.get('right', 0)}")
+        lines.append(f"feature frame_skip {dconf.get('frame_skip', 1)}")
+    for c in artifact["caches"]:
+        lines.append(f"cache {c['id']} {c['len']} {c['dim']}")
+    for entry in artifact["ops"]:
+        parts = ["op", entry["op"], str(entry["out"]),
+                 str(len(entry["inputs"]))]
+        parts += [str(i) for i in entry["inputs"]]
+        for key, val in entry.get("attrs", {}).items():
+            parts += ["a", key, str(val)]
+        for key, val in entry.items():
+            if isinstance(val, dict) and "offset" in val:
+                parts += ["w", key, str(val["offset"]),
+                          str(len(val["shape"]))]
+                parts += [str(d) for d in val["shape"]]
+            elif isinstance(val, dict) and "int8" in val:
+                qr, sr = val["int8"], val["scale"]
+                parts += ["q", key, str(qr["offset"]), str(sr["offset"]),
+                          str(len(qr["shape"]))]
+                parts += [str(d) for d in qr["shape"]]
+        lines.append(" ".join(parts))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def load_artifact(model_dir: str):

@@ -75,6 +75,9 @@ def quantize_artifact(model_dir: str, out_dir: str) -> dict:
     i8.tofile(os.path.join(out_dir, "weights_int8.bin"))
     with open(os.path.join(out_dir, "model.json"), "w") as f:
         json.dump(artifact, f)
+    from wekws_tpu.export.graph import _write_text_format
+
+    _write_text_format(artifact, os.path.join(out_dir, "model.txt"))
     return artifact
 
 
