@@ -40,6 +40,8 @@ def get_args():
     parser.add_argument("--coordinator", default=None)
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--profile_dir", default=None,
+                        help="write a jax.profiler trace of early steps")
     return parser.parse_args()
 
 
@@ -137,7 +139,11 @@ def main():
     )
     mesh = make_mesh()
     executor = Executor(
-        trainer, mesh, log_interval=train_conf.get("log_interval", 10)
+        trainer, mesh,
+        log_interval=train_conf.get("log_interval", 10),
+        profile_dir=args.profile_dir,
+        metrics_path=os.path.join(args.model_dir, "metrics.jsonl")
+        if jax.process_index() == 0 else None,
     )
 
     first_batch = next(iter(cv_dataset))

@@ -139,9 +139,12 @@ class FeatureExtractor:
             frames = frames - cfg.preemphasis * prev
         frames = frames * self._window
 
-        # Frontend numerics are the training/runtime contract: force full
-        # f32 on the MXU (bf16 inputs lose ~0.4 log-mel in low-energy bins).
-        hi = jax.lax.Precision.HIGHEST
+        # Frontend numerics are the training/runtime contract. HIGH
+        # (bf16_3x) keeps the DFT/mel matmuls at ~1e-5 relative error;
+        # default (single-pass bf16) loses ~2e-3, and HIGHEST triggers
+        # a pathological minutes-long XLA compile on TPU for these
+        # shapes (measured: 320s vs 1.2s) with no accuracy need.
+        hi = jax.lax.Precision.HIGH
         spec = jnp.matmul(
             frames, self._dft, precision=hi, preferred_element_type=jnp.float32
         )

@@ -19,11 +19,31 @@ from wekws_tpu.parallel.mesh import pad_batch_to_multiple, shard_batch
 
 
 class Executor:
-    def __init__(self, trainer, mesh, log_interval: int = 10):
+    def __init__(
+        self,
+        trainer,
+        mesh,
+        log_interval: int = 10,
+        profile_dir: Optional[str] = None,
+        metrics_path: Optional[str] = None,
+    ):
+        """``profile_dir`` enables a jax.profiler trace of a slice of
+        each first epoch; ``metrics_path`` appends per-epoch JSONL
+        records (the tensorboard-scalar analog, train.py:239-241)."""
         self.trainer = trainer
         self.mesh = mesh
         self.log_interval = log_interval
+        self.profile_dir = profile_dir
+        self.metrics_path = metrics_path
+        self._profiled = False
         self.n_devices = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def log_metrics(self, record: Dict) -> None:
+        if self.metrics_path:
+            import json
+
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(record) + "\n")
 
     def _prepare(self, batch: Dict) -> Dict:
         batch = pad_batch_to_multiple(batch, self.n_devices)
@@ -39,11 +59,17 @@ class Executor:
         start = time.time()
         n_batches = 0
         for idx, batch in enumerate(dataset):
+            if self.profile_dir and not self._profiled and idx == 3:
+                jax.profiler.start_trace(self.profile_dir)
             audio_seconds += float(batch["wave_lengths"].sum()) / 16000.0
             device_batch = self._prepare(batch)
             state, metrics = self.trainer.train_step(
                 state, device_batch, rng, lr
             )
+            if self.profile_dir and not self._profiled and idx == 8:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                self._profiled = True
             n_batches += 1
             if idx % self.log_interval == 0:
                 m = jax.device_get(metrics)
@@ -61,6 +87,7 @@ class Executor:
             "batches": n_batches,
             "audio_seconds_per_s": audio_seconds / elapsed,
         }
+        self.log_metrics({"epoch": epoch, "lr": lr, **summary})
         return state, summary
 
     def cv(
