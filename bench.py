@@ -21,6 +21,15 @@ import numpy as np
 def main():
     import jax
 
+    # persistent compile cache: the two train-step specializations cost
+    # minutes to compile on tunneled backends, seconds thereafter
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
     from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
     from wekws_tpu.models import init_model
@@ -55,8 +64,11 @@ def main():
     device_batch = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
+    # warmup / compile (two steps: the first call's output state carries
+    # device-committed shardings, so call two triggers a second
+    # specialization — both must compile before timing)
+    for _ in range(2):
+        state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
     jax.block_until_ready(metrics["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", 30))

@@ -89,12 +89,19 @@ class Trainer:
         self.optimizer = make_optimizer(
             learning_rate, grad_clip, weight_decay
         )
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        # NOTE: no buffer donation. Donating the state forces a
+        # synchronous ~1.1s round-trip per step on tunneled TPU
+        # backends (measured: 1116ms donated vs 12ms without, identical
+        # program), and these models are far too small for the
+        # double-buffering to matter.
+        self._train_step = jax.jit(self._train_step_impl)
         self._cv_step = jax.jit(self._cv_step_impl)
 
     # ---------------- state init ----------------
 
-    def init_state(self, rng: jax.Array, example_batch: Dict) -> TrainState:
+    def init_state(
+        self, rng: jax.Array, example_batch: Dict, mesh=None
+    ) -> TrainState:
         feats, lengths = self.cv_pipeline(
             jnp.asarray(example_batch["waves"]),
             jnp.asarray(example_batch["wave_lengths"]),
@@ -102,12 +109,19 @@ class Trainer:
         variables = self.model.init(rng, feats, lengths=lengths)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        return TrainState(
+        state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
             opt_state=self.optimizer.init(params),
         )
+        if mesh is not None:
+            # commit replicated across the mesh so the first train step
+            # compiles with the steady-state shardings
+            from wekws_tpu.parallel.mesh import replicated
+
+            state = jax.device_put(state, replicated(mesh))
+        return state
 
     # ---------------- train ----------------
 
@@ -190,9 +204,14 @@ class Trainer:
         return new_state, metrics
 
     def train_step(self, state, batch, rng, learning_rate):
-        return self._train_step(
-            state, batch, rng, jnp.asarray(learning_rate, jnp.float32)
-        )
+        # Cache the device scalar: a fresh device_put per step forces a
+        # dispatch-pipeline sync on tunneled backends (measured ~680ms
+        # per step vs ~9ms with a reused buffer).
+        lr = float(learning_rate)
+        if getattr(self, "_lr_value", None) != lr:
+            self._lr_value = lr
+            self._lr_device = jnp.asarray(lr, jnp.float32)
+        return self._train_step(state, batch, rng, self._lr_device)
 
     # ---------------- cv ----------------
 
