@@ -3,11 +3,12 @@
 XLA executes the MDTC backbone as ~50 separate kernels (17 dilated
 depthwise convs + 34 pointwise matmuls + elementwise), bouncing every
 intermediate through HBM.  This kernel runs the ENTIRE backbone for a
-batch row in one VMEM-resident program: per layer a K-tap shifted
-multiply-accumulate (VPU) for the causal depthwise conv and two
-(T, C) x (C, C) MXU matmuls, with the multi-scale stack summation
-accumulated in place.  Activations ((T + PAD) x C) and all folded
-weights (~0.5 MB) stay in VMEM for the whole forward.
+tile of batch rows in one VMEM-resident program: per layer a K-tap
+shifted multiply-accumulate (VPU) for the causal depthwise conv and two
+(BT*T, C) x (C, C) MXU matmuls, with the multi-scale stack summation
+accumulated in place.  Activations and all folded weights (~0.5 MB)
+stay in VMEM for the whole forward; batch tiling (``block_batch``)
+keeps the MXU matmuls large.
 
 Weights are the BatchNorm-folded inference weights — the same tensors
 the export path produces (wekws_tpu/export/graph.py _lower_mdtc_block),
@@ -39,47 +40,46 @@ def _kernel(
     *, dilations: Tuple[int, ...], kernel_size: int, stack_size: int,
     pad_max: int,
 ):
-    t = x_ref.shape[1]
-    c = x_ref.shape[2]
+    bt, t, c = x_ref.shape
     k = kernel_size
 
-    # activation buffer: [zero left margin | current activation]
-    act_ref[0:pad_max, :] = jnp.zeros((pad_max, c), jnp.float32)
-    act_ref[pl.ds(pad_max, t), :] = x_ref[0]
+    # activation buffer per row: [zero left margin | activation]
+    act_ref[:, 0:pad_max, :] = jnp.zeros((bt, pad_max, c), jnp.float32)
+    act_ref[:, pl.ds(pad_max, t), :] = x_ref[...]
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for layer, dil in enumerate(dilations):
-        x_in = act_ref[pl.ds(pad_max, t), :]
+        x_in = act_ref[:, pl.ds(pad_max, t), :]
         # depthwise causal conv: K shifted FMAs on the VPU
-        a = jnp.zeros((t, c), jnp.float32)
+        a = jnp.zeros((bt, t, c), jnp.float32)
         for tap in range(k):
             offset = pad_max - (k - 1 - tap) * dil
-            a = a + act_ref[pl.ds(offset, t), :] * dw_w_ref[layer, tap, :]
+            a = a + act_ref[:, pl.ds(offset, t), :] * dw_w_ref[layer, tap, :]
         a = a + dw_b_ref[layer, :]
-        # two pointwise (C x C) matmuls on the MXU
+        # two pointwise (C x C) matmuls on the MXU over (BT*T, C)
+        a2 = a.reshape(bt * t, c)
         b = jnp.maximum(
-            jnp.dot(a, pw1_w_ref[layer], preferred_element_type=jnp.float32)
+            jnp.dot(a2, pw1_w_ref[layer], preferred_element_type=jnp.float32)
             + pw1_b_ref[layer, :],
             0.0,
         )
         y = (
             jnp.dot(b, pw2_w_ref[layer], preferred_element_type=jnp.float32)
             + pw2_b_ref[layer, :]
-        )
+        ).reshape(bt, t, c)
         y = jnp.maximum(y + x_in, 0.0)
-        if layer == 0:
-            # preprocessor output feeds the stacks through an extra relu
-            y = jnp.maximum(y, 0.0)
-        act_ref[pl.ds(pad_max, t), :] = y
+        # (preprocessor's extra relu is idempotent after the residual relu)
+        act_ref[:, pl.ds(pad_max, t), :] = y
         # multi-scale: sum each stack's final output
         if layer > 0 and (layer % stack_size) == 0:
             acc_ref[...] += y
-    out_ref[0] = acc_ref[...]
+    out_ref[...] = acc_ref[...]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilations", "kernel_size", "stack_size")
+    jax.jit,
+    static_argnames=("dilations", "kernel_size", "stack_size", "block_batch"),
 )
 def fused_mdtc_forward(
     x: jnp.ndarray,
@@ -92,12 +92,18 @@ def fused_mdtc_forward(
     dilations: Tuple[int, ...],
     kernel_size: int,
     stack_size: int,
+    block_batch: int = 8,
 ) -> jnp.ndarray:
     """x: (B, T, C); weight stacks: (L, K, C), (L, C), (L, C, C) x2.
 
     ``dilations`` lists every layer including the dilation-1
     preprocessor; layers 1.. are the stacks.  Returns (B, T, C)."""
     b, t, c = x.shape
+    bt = min(block_batch, b)
+    rem = (-b) % bt
+    if rem:
+        x = jnp.pad(x, ((0, rem), (0, 0), (0, 0)))
+    bp = x.shape[0]
     pad_max = (kernel_size - 1) * max(dilations)
     kernel = functools.partial(
         _kernel,
@@ -106,11 +112,11 @@ def fused_mdtc_forward(
         stack_size=stack_size,
         pad_max=pad_max,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(bp // bt,),
         in_specs=[
-            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -119,14 +125,15 @@ def fused_mdtc_forward(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, t, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bt, t, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, t, c), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((pad_max + t, c), jnp.float32),
-            pltpu.VMEM((t, c), jnp.float32),
+            pltpu.VMEM((bt, pad_max + t, c), jnp.float32),
+            pltpu.VMEM((bt, t, c), jnp.float32),
         ],
     )(x, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b)
+    return out[:b]
 
 
 def _fold_bn(w, b, bn_params, bn_stats, eps=1e-5):
