@@ -41,3 +41,36 @@ def test_fused_matches_flax(stack_num, stack_size, c):
             dilations, 5, stack_size,
         )
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-3)
+
+
+def test_fused_stream_matches_full():
+    from wekws_tpu.ops import fused_mdtc_stream, init_stream_cache
+
+    model = MDTC(
+        stack_num=2, stack_size=3, in_channels=64, res_channels=64,
+        kernel_size=5,
+    )
+    b, t, c = 2, 48, 64
+    x = jax.random.normal(jax.random.PRNGKey(2), (b, t, c)) * 0.5
+    variables = model.init(jax.random.PRNGKey(3), x)
+    w = extract_mdtc_weights(
+        model, variables["params"], variables["batch_stats"]
+    )
+    dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b, dil = w
+    pad_max = 4 * max(dil)
+    with pltpu.force_tpu_interpret_mode():
+        full = fused_mdtc_forward(
+            x, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b, dil, 5, 3
+        )
+        cache = init_stream_cache(len(dil), b, pad_max, c)
+        outs = []
+        for s in range(0, t, 12):
+            y, cache = fused_mdtc_stream(
+                x[:, s : s + 12, :], cache,
+                dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b, dil, 5, 3,
+            )
+            outs.append(y)
+    streamed = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(full), atol=1e-5, rtol=1e-4
+    )

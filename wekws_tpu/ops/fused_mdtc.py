@@ -38,18 +38,24 @@ def _kernel(
     x_ref, dw_w_ref, dw_b_ref, pw1_w_ref, pw1_b_ref, pw2_w_ref, pw2_b_ref,
     out_ref, act_ref, acc_ref,
     *, dilations: Tuple[int, ...], kernel_size: int, stack_size: int,
-    pad_max: int,
+    pad_max: int, cache_in_ref=None, cache_out_ref=None,
 ):
     bt, t, c = x_ref.shape
     k = kernel_size
 
-    # activation buffer per row: [zero left margin | activation]
-    act_ref[:, 0:pad_max, :] = jnp.zeros((bt, pad_max, c), jnp.float32)
+    # activation buffer per row: [left margin | activation]
     act_ref[:, pl.ds(pad_max, t), :] = x_ref[...]
+    if cache_in_ref is None:
+        act_ref[:, 0:pad_max, :] = jnp.zeros((bt, pad_max, c), jnp.float32)
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
 
     for layer, dil in enumerate(dilations):
+        if cache_in_ref is not None:
+            # streaming: left margin = carried input context; new cache
+            # = the pad_max input rows ending at the chunk boundary
+            act_ref[:, 0:pad_max, :] = cache_in_ref[layer]
+            cache_out_ref[layer] = act_ref[:, pl.ds(t, pad_max), :]
         x_in = act_ref[:, pl.ds(pad_max, t), :]
         # depthwise causal conv: K shifted FMAs on the VPU
         a = jnp.zeros((bt, t, c), jnp.float32)
@@ -134,6 +140,79 @@ def fused_mdtc_forward(
         ],
     )(x, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b)
     return out[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dilations", "kernel_size", "stack_size"),
+)
+def fused_mdtc_stream(
+    x: jnp.ndarray,
+    cache: jnp.ndarray,
+    dw_w: jnp.ndarray,
+    dw_b: jnp.ndarray,
+    pw1_w: jnp.ndarray,
+    pw1_b: jnp.ndarray,
+    pw2_w: jnp.ndarray,
+    pw2_b: jnp.ndarray,
+    dilations: Tuple[int, ...],
+    kernel_size: int,
+    stack_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Streaming fused forward: one chunk with carried context.
+
+    cache: (L, B, pad_max, C) — per layer the last ``pad_max`` input
+    frames seen by that layer (zeros at stream start; only the last
+    ``(K-1)*dil_l`` are read).  Returns (y, new_cache); chunked calls
+    equal ``fused_mdtc_forward`` on the concatenated input."""
+    b, t, c = x.shape
+    n_layers = len(dilations)
+    pad_max = (kernel_size - 1) * max(dilations)
+    kernel = functools.partial(
+        _kernel_stream,
+        dilations=tuple(int(d) for d in dilations),
+        kernel_size=kernel_size,
+        stack_size=stack_size,
+        pad_max=pad_max,
+    )
+    out, new_cache = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t, c), jnp.float32),
+            jax.ShapeDtypeStruct((n_layers, b, pad_max, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, pad_max + t, c), jnp.float32),
+            pltpu.VMEM((b, t, c), jnp.float32),
+        ],
+    )(x, cache, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b)
+    return out, new_cache
+
+
+def _kernel_stream(
+    x_ref, cache_in_ref, dw_w_ref, dw_b_ref, pw1_w_ref, pw1_b_ref,
+    pw2_w_ref, pw2_b_ref, out_ref, cache_out_ref, act_ref, acc_ref,
+    *, dilations, kernel_size, stack_size, pad_max,
+):
+    _kernel(
+        x_ref, dw_w_ref, dw_b_ref, pw1_w_ref, pw1_b_ref, pw2_w_ref,
+        pw2_b_ref, out_ref, act_ref, acc_ref,
+        dilations=dilations, kernel_size=kernel_size,
+        stack_size=stack_size, pad_max=pad_max,
+        cache_in_ref=cache_in_ref, cache_out_ref=cache_out_ref,
+    )
+
+
+def init_stream_cache(
+    n_layers: int, batch: int, pad_max: int, channels: int
+) -> jnp.ndarray:
+    return jnp.zeros((n_layers, batch, pad_max, channels), jnp.float32)
 
 
 def _fold_bn(w, b, bn_params, bn_stats, eps=1e-5):

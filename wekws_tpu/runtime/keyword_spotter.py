@@ -76,11 +76,12 @@ class KeyWordSpotter:
         self._variables = {"params": params, "batch_stats": stats}
         logging.info("model %s loaded.", ckpt_path)
 
-        self._apply = jax.jit(
+        self._apply_jit = jax.jit(
             lambda feats, cache: self.model.apply(
                 self._variables, feats, cache, softmax=True
             )
         )
+        self._apply = self._bucketed_apply
 
         self.token_table = read_token(token_path)
         self.lexicon_table = (
@@ -97,6 +98,26 @@ class KeyWordSpotter:
         self.keywords_token: Dict[str, dict] = {}
         self.keywords_idxset = {0}
         self.reset_all()
+
+    _CHUNK_BUCKETS = (32, 8, 1)
+
+    def _bucketed_apply(self, feats, cache):
+        """Run the cached forward in fixed-size sub-chunks so jit
+        compiles at most len(_CHUNK_BUCKETS) programs regardless of
+        audio chunking (arbitrary T would recompile per length)."""
+        import numpy as np_
+
+        t = feats.shape[1]
+        outs = []
+        start = 0
+        while start < t:
+            remaining = t - start
+            size = next(b for b in self._CHUNK_BUCKETS if b <= remaining)
+            piece = feats[:, start : start + size, :]
+            probs, cache = self._apply_jit(piece, cache)
+            outs.append(np_.asarray(probs))
+            start += size
+        return np_.concatenate(outs, axis=1), cache
 
     # ------------- keywords -------------
 
