@@ -199,3 +199,41 @@ class TestDevicePipeline:
         cv_pipe = DeviceFeaturePipeline.from_conf(conf, training=False)
         assert cv_pipe.spec_aug_conf is None
         assert cv_pipe.extractor.cfg.dither == 0.0
+
+
+class TestDataLoader:
+    def test_workers_union_equals_rank_shard(self, corpus):
+        from wekws_tpu.data.loader import DataLoader
+
+        conf = {
+            "filter_conf": {"max_length": 2048, "min_length": 0},
+            "resample_conf": {"resample_rate": 16000},
+            "shuffle": False,
+            "batch_conf": {"batch_size": 2, "bucket_samples": 8000},
+        }
+        ds = init_dataset(corpus, conf, split="cv", rank=0, world_size=1)
+        serial_keys = sorted(
+            k for b in ds for k in b["keys"]
+        )
+        loader = DataLoader(
+            init_dataset(corpus, conf, split="cv", rank=0, world_size=1),
+            num_workers=2,
+        )
+        loader.set_epoch(0)
+        parallel_keys = sorted(k for b in loader for k in b["keys"])
+        assert parallel_keys == serial_keys
+
+    def test_zero_workers_prefetch(self, corpus):
+        from wekws_tpu.data.loader import DataLoader
+
+        conf = {
+            "filter_conf": {"max_length": 2048, "min_length": 0},
+            "resample_conf": {"resample_rate": 16000},
+            "shuffle": False,
+            "batch_conf": {"batch_size": 4, "bucket_samples": 8000},
+        }
+        loader = DataLoader(
+            init_dataset(corpus, conf, split="cv", rank=0, world_size=1),
+            num_workers=0,
+        )
+        assert sum(len(b["keys"]) for b in loader) == 6

@@ -236,3 +236,25 @@ class TestKWSModel:
             rngs={"dropout": jax.random.PRNGKey(15)},
             mutable=["batch_stats"],
         )
+
+
+class TestFsmnKaldiIO:
+    def test_roundtrip_and_forward_parity(self):
+        from wekws_tpu.models.fsmn_kaldi import fsmn_from_kaldi, fsmn_to_kaldi
+
+        model = FSMN(
+            input_affine_dim=20, fsmn_layers=2, linear_dim=32, proj_dim=16,
+            lorder=4, rorder=2, lstride=1, rstride=1,
+            output_affine_dim=20, output_dim=7,
+        )
+        x = rand(20, 2, 30, 24)
+        variables = model.init(jax.random.PRNGKey(21), x)
+        text = fsmn_to_kaldi(model, jax.device_get(variables["params"]))
+        assert text.startswith("<Nnet>") and "<Fsmn>" in text
+
+        restored = fsmn_from_kaldi(model, text)
+        want, _ = model.apply(variables, x)
+        got, _ = model.apply({"params": restored}, x)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
+        )

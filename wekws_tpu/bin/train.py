@@ -42,6 +42,8 @@ def get_args():
     parser.add_argument("--process_id", type=int, default=None)
     parser.add_argument("--profile_dir", default=None,
                         help="write a jax.profiler trace of early steps")
+    parser.add_argument("--num_workers", type=int, default=0,
+                        help="data-loading worker processes")
     return parser.parse_args()
 
 
@@ -93,11 +95,15 @@ def main():
     train_pipeline = DeviceFeaturePipeline.from_conf(dataset_conf, True)
     cv_pipeline = DeviceFeaturePipeline.from_conf(dataset_conf, False)
 
-    train_dataset = init_dataset(
-        args.train_data, dataset_conf, tokenizer, split="train"
+    from wekws_tpu.data.loader import DataLoader
+
+    train_dataset = DataLoader(
+        init_dataset(args.train_data, dataset_conf, tokenizer, split="train"),
+        num_workers=args.num_workers,
     )
-    cv_dataset = init_dataset(
-        args.cv_data, dataset_conf, tokenizer, split="cv"
+    cv_dataset = DataLoader(
+        init_dataset(args.cv_data, dataset_conf, tokenizer, split="cv"),
+        num_workers=args.num_workers,
     )
 
     # resolve model config (reference train.py:139-153)

@@ -36,10 +36,18 @@ class DataList:
         self.partition = partition
         self.rank = rank
         self.world_size = world_size
+        self.worker_id = 0
+        self.num_workers = 1
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+
+    def set_worker(self, worker_id: int, num_workers: int) -> None:
+        """Second-level sharding across loader workers (the reference's
+        rank -> worker two-level slicing, dataset.py:82-97)."""
+        self.worker_id = worker_id
+        self.num_workers = num_workers
 
     def __iter__(self) -> Iterator[dict]:
         data = list(range(len(self.lines)))
@@ -47,6 +55,8 @@ class DataList:
             random.Random(self.epoch).shuffle(data)
         if self.partition:
             data = data[self.rank :: self.world_size]
+        if self.num_workers > 1:
+            data = data[self.worker_id :: self.num_workers]
         for i in data:
             yield {"src": self.lines[i]}
 

@@ -52,7 +52,9 @@ def tokenize(data: Iterable[dict], tokenizer) -> Iterator[dict]:
             _, ids = tokenizer.tokenize(str(txt))
             sample["label"] = list(ids)
         else:
-            sample["label"] = txt
+            # raw text label with no tokenizer (e.g. scoring paths that
+            # only need keys): filler id, the txt stays on the sample
+            sample["label"] = -1
         yield sample
 
 

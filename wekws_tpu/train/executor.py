@@ -45,6 +45,17 @@ class Executor:
             with open(self.metrics_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
 
+    def _iterate(self, dataset):
+        """Overlap host batching with device compute: DataLoader
+        iterates itself (worker processes); bare Datasets get the
+        thread prefetcher."""
+        from wekws_tpu.data.loader import DataLoader
+        from wekws_tpu.data.prefetch import Prefetcher
+
+        if isinstance(dataset, DataLoader):
+            return iter(dataset)
+        return iter(Prefetcher(dataset))
+
     def _prepare(self, batch: Dict) -> Dict:
         batch = pad_batch_to_multiple(batch, self.n_devices)
         arrays = {
@@ -58,7 +69,7 @@ class Executor:
         losses, accs, audio_seconds = [], [], 0.0
         start = time.time()
         n_batches = 0
-        for idx, batch in enumerate(dataset):
+        for idx, batch in enumerate(self._iterate(dataset)):
             if self.profile_dir and not self._profiled and idx == 3:
                 jax.profiler.start_trace(self.profile_dir)
             audio_seconds += float(batch["wave_lengths"].sum()) / 16000.0
@@ -99,7 +110,7 @@ class Executor:
         decode accuracy (reference loss.py:102-132), which is slow."""
         total_loss, total_correct, total_utts = 0.0, 0.0, 0
         decode_hits: Optional[list] = [] if decode_acc else None
-        for batch in dataset:
+        for batch in self._iterate(dataset):
             b_real = batch["waves"].shape[0]
             device_batch = self._prepare(batch)
             out = jax.device_get(self.trainer.cv_step(state, device_batch))
@@ -133,3 +144,8 @@ class Executor:
             epoch, result["cv_loss"], result["cv_acc"], total_utts,
         )
         return result
+
+    def test(self, state, dataset, epoch: int = 0) -> Dict[str, float]:
+        """Test-set evaluation — same accumulation as cv
+        (reference Executor.test, executor.py:114-115)."""
+        return self.cv(state, dataset, epoch)
