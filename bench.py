@@ -46,7 +46,8 @@ def main():
         learning_rate=1e-3, grad_clip=5.0, min_duration=5,
     )
 
-    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", 256))
+    # B=512 is the measured per-chip throughput sweet spot (PERF.md)
+    batch_per_chip = int(os.environ.get("BENCH_BATCH_PER_CHIP", 512))
     seconds_per_utt = float(os.environ.get("BENCH_UTT_SECONDS", 2.0))
     b = batch_per_chip * n_devices
     s = int(16000 * seconds_per_utt)
