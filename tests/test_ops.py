@@ -74,3 +74,43 @@ def test_fused_stream_matches_full():
     np.testing.assert_allclose(
         np.asarray(streamed), np.asarray(full), atol=1e-5, rtol=1e-4
     )
+
+
+def test_fused_serving_forward_matches_model():
+    from wekws_tpu.models import init_model
+    from wekws_tpu.ops.serving import build_fused_forward
+
+    cfg = {
+        "input_dim": 40, "output_dim": 2, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "mdtc", "num_stack": 2, "stack_size": 3,
+                     "kernel_size": 5, "hidden_dim": 32, "causal": True},
+    }
+    model = init_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 40))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    lengths = jnp.asarray([40, 25])
+    want, _ = model.apply(variables, x, lengths=lengths)
+
+    fused = build_fused_forward(model, variables)
+    assert fused is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = fused(x, lengths)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_fused_serving_rejects_unsupported():
+    from wekws_tpu.models import init_model
+    from wekws_tpu.ops.serving import build_fused_forward
+
+    cfg = {
+        "input_dim": 40, "output_dim": 2, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "gru", "num_layers": 1},
+    }
+    model = init_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 40))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    assert build_fused_forward(model, variables) is None
