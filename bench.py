@@ -21,14 +21,12 @@ import numpy as np
 def main():
     import jax
 
-    # persistent compile cache: the two train-step specializations cost
-    # minutes to compile on tunneled backends, seconds thereafter
-    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-    try:
+    # Optional persistent compile cache (off by default: cache writes
+    # stall for minutes on the tunneled axon backend).
+    cache_dir = os.environ.get("BENCH_COMPILE_CACHE")
+    if cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
     from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
@@ -61,7 +59,7 @@ def main():
 
     from wekws_tpu.parallel import shard_batch
 
-    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, mesh)
     device_batch = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(1)
 

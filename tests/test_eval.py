@@ -217,3 +217,17 @@ class TestTools:
         assert mean.shape == (23,)
         # sanity: mean of log-mel of quiet noise is large-ish positive
         assert np.all(np.isfinite(mean)) and np.all(istd > 0)
+
+
+class TestPlotDet:
+    def test_renders_png(self, tmp_path):
+        from wekws_tpu.bin.plot_det_curve import plot_det_curve
+
+        stats = tmp_path / "stats.kw.txt"
+        rows = [(t / 100, 5.0 * (1 - t / 100), t / 200) for t in range(100)]
+        stats.write_text(
+            "".join(f"{a:.3f} {b:.6f} {c:.6f}\n" for a, b, c in rows)
+        )
+        out = tmp_path / "det.png"
+        plot_det_curve(["kw"], str(tmp_path), str(out))
+        assert out.exists() and out.stat().st_size > 1000
