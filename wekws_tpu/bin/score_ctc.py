@@ -19,6 +19,8 @@ def get_args():
                         help="comma separated keywords")
     parser.add_argument("--score_beam_size", type=int, default=3)
     parser.add_argument("--path_beam_size", type=int, default=20)
+    parser.add_argument("--device_decode", action="store_true",
+                        help="batched on-device prefix beam search")
     return parser.parse_args()
 
 
@@ -54,6 +56,7 @@ def main():
     n = write_ctc_score_file(
         forward, dataset, keywords_token, idxset, args.score_file,
         args.score_beam_size, args.path_beam_size,
+        device_decode=args.device_decode,
     )
     print(f"scored {n} utterances -> {args.score_file}")
 

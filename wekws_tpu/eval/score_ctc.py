@@ -66,25 +66,52 @@ def write_ctc_score_file(
     score_file: str,
     score_beam_size: int = 3,
     path_beam_size: int = 20,
+    device_decode: bool = False,
+    vocab_size: Optional[int] = None,
 ) -> int:
     """forward_fn: batch -> (softmax posteriors (B, T, V), lengths).
 
     Writes ``key detected <keyword> <score>`` / ``key rejected`` lines
-    (the compute_det_ctc input format)."""
+    (the compute_det_ctc input format).  ``device_decode`` runs the
+    batched on-device prefix beam search (decode/batched_ctc.py)
+    instead of the per-utterance host decoder — same detections, whole
+    batches decoded in one jit call."""
     n = 0
     with open(score_file, "w", encoding="utf8") as fout:
         for batch in dataset:
             probs, lengths = forward_fn(batch)
             probs = np.asarray(probs)
             lengths = np.asarray(lengths)
-            for i, key in enumerate(batch["keys"]):
-                hyps = ctc_prefix_beam_search(
-                    probs[i],
-                    int(lengths[i]),
-                    keywords_idxset,
-                    score_beam_size,
-                    path_beam_size,
+            if device_decode:
+                from wekws_tpu.decode.batched_ctc import (
+                    batched_ctc_prefix_beam_search,
+                    hyps_from_arrays,
                 )
+
+                v = probs.shape[-1]
+                mask = np.zeros(v, bool)
+                mask[sorted(i for i in keywords_idxset if i < v)] = True
+                result = batched_ctc_prefix_beam_search(
+                    probs, lengths, tokenset_mask=mask,
+                    score_beam=score_beam_size, path_beam=path_beam_size,
+                )
+                import jax
+
+                result = {
+                    k: np.asarray(val)
+                    for k, val in jax.device_get(result).items()
+                }
+            for i, key in enumerate(batch["keys"]):
+                if device_decode:
+                    hyps = hyps_from_arrays(result, i)
+                else:
+                    hyps = ctc_prefix_beam_search(
+                        probs[i],
+                        int(lengths[i]),
+                        keywords_idxset,
+                        score_beam_size,
+                        path_beam_size,
+                    )
                 hit = detect_keyword(hyps, keywords_token)
                 if hit is not None:
                     word, score, _, _ = hit
