@@ -43,6 +43,7 @@ class BeamState(NamedTuple):
     node_frame: jnp.ndarray  # (B, W, U) int32
     node_prob: jnp.ndarray  # (B, W, U) f32
     valid: jnp.ndarray      # (B, W) bool
+    phash: jnp.ndarray      # (B, W) int32 rolling prefix hash
 
 
 def _init_state(b: int, w: int, u: int) -> BeamState:
@@ -59,6 +60,7 @@ def _init_state(b: int, w: int, u: int) -> BeamState:
         valid=jnp.concatenate(
             [jnp.ones((b, 1), bool), jnp.zeros((b, w - 1), bool)], axis=1
         ),
+        phash=jnp.zeros((b, w), jnp.int32),
     )
 
 
@@ -228,8 +230,16 @@ def batched_ctc_prefix_beam_search(
         c_pb = jnp.where(c_valid, c_pb, 0.0)
         c_pnb = jnp.where(c_valid, c_pnb, 0.0)
 
-        # ---- merge identical prefixes: hash sort + segment sums
-        h = _prefix_hash(c_prefix, c_plen)
+        # ---- merge identical prefixes: hash sort + segment sums.
+        # Hashes are carried incrementally in the state (recomputing
+        # over (..., U) per frame made the compiled step huge).
+        ext_hash = state.phash[..., None] * _HASH_MULT + (
+            jnp.broadcast_to(s_tok, (b, w, k)) + 2
+        )
+        c_hash = jnp.concatenate(
+            [state.phash, ext_hash.reshape(b, w * k)], axis=1
+        )
+        h = c_hash
         h = jnp.where(
             c_valid, h, jnp.int32(-2147483648) + jnp.arange(n_cand)[None, :]
         )
@@ -294,6 +304,7 @@ def batched_ctc_prefix_beam_search(
             node_frame=gather(c_nframe),
             node_prob=gather(c_nprob),
             valid=top_score > 0,
+            phash=jnp.take_along_axis(c_hash, orig, axis=1),
         )
         # frames past length or with empty filter: unchanged
         frame_live = (t < lengths) & any_kept  # (B,)
