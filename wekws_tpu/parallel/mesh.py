@@ -86,3 +86,20 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "data"):
         else:
             out[key] = val
     return out
+
+
+def make_global_batch(
+    local_batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "data"
+):
+    """Multi-host: assemble each process's local batch shard into global
+    arrays sharded over the mesh (the DDP per-rank batch contract —
+    every process calls this with ITS shard; jit then sees one global
+    batch and XLA reduces gradients across hosts)."""
+    sharding = data_sharding(mesh, axis)
+    out = {}
+    for key, val in local_batch.items():
+        if isinstance(val, np.ndarray):
+            out[key] = jax.make_array_from_process_local_data(sharding, val)
+        else:
+            out[key] = val
+    return out
