@@ -54,6 +54,12 @@ class DataList:
         if self.shuffle:
             random.Random(self.epoch).shuffle(data)
         if self.partition:
+            if self.world_size > 1 and len(data) % self.world_size:
+                # equalize shard sizes by wraparound so every process
+                # sees the same number of batches (multi-host training
+                # steps must stay in lockstep)
+                data = data + data[: self.world_size
+                                   - len(data) % self.world_size]
             data = data[self.rank :: self.world_size]
         if self.num_workers > 1:
             data = data[self.worker_id :: self.num_workers]

@@ -57,11 +57,20 @@ class Executor:
         return iter(Prefetcher(dataset))
 
     def _prepare(self, batch: Dict) -> Dict:
-        batch = pad_batch_to_multiple(batch, self.n_devices)
-        arrays = {
+        arrays_only = {
             k: v for k, v in batch.items() if isinstance(v, np.ndarray)
         }
-        return shard_batch(arrays, self.mesh)
+        if jax.process_count() > 1:
+            # multi-host: this process holds a shard; pad to the local
+            # device multiple and assemble the global arrays
+            from wekws_tpu.parallel.mesh import make_global_batch
+
+            local = pad_batch_to_multiple(
+                arrays_only, len(jax.local_devices())
+            )
+            return make_global_batch(local, self.mesh)
+        padded = pad_batch_to_multiple(arrays_only, self.n_devices)
+        return shard_batch(padded, self.mesh)
 
     def train(
         self, state, dataset, rng: jax.Array, lr: float, epoch: int
@@ -114,24 +123,25 @@ class Executor:
             b_real = batch["waves"].shape[0]
             device_batch = self._prepare(batch)
             out = jax.device_get(self.trainer.cv_step(state, device_batch))
-            loss_b = out["loss_b"][:b_real]
-            correct_b = out["correct_b"][:b_real]
-            finite = np.isfinite(loss_b)
-            total_loss += float(loss_b[finite].sum())
-            total_correct += float(correct_b[finite].sum())
-            total_utts += int(finite.sum())
-            if decode_acc and "log_probs" in out:
+            total_loss += float(out["loss_sum"])
+            total_correct += float(out["correct_sum"])
+            total_utts += int(out["count"])
+            if decode_acc and jax.process_count() == 1:
                 from wekws_tpu.decode import acc_utterance
 
-                probs = np.exp(out["log_probs"][:b_real])
-                decode_hits.append(
-                    acc_utterance(
-                        probs,
-                        batch["target"],
-                        out["feat_lengths"][:b_real],
-                        batch["target_lengths"],
-                    )
+                full = jax.device_get(
+                    self.trainer.cv_step_full(state, device_batch)
                 )
+                if "log_probs" in full:
+                    probs = np.exp(full["log_probs"][:b_real])
+                    decode_hits.append(
+                        acc_utterance(
+                            probs,
+                            batch["target"],
+                            full["feat_lengths"][:b_real],
+                            batch["target_lengths"],
+                        )
+                    )
         result = {
             "cv_loss": total_loss / max(total_utts, 1),
             "cv_acc": total_correct / max(total_utts, 1),

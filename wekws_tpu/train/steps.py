@@ -232,14 +232,46 @@ class Trainer:
             batch.get("target_lengths"),
             self.min_duration,
         )
-        out = {"loss_b": loss_b, "correct_b": correct_b}
-        if self.criterion_type == "ctc":
-            out["log_probs"] = jax.nn.log_softmax(logits, axis=-1)
-            out["feat_lengths"] = feat_lengths
+        # reduce to replicated scalars inside jit: works for globally
+        # sharded multi-host batches (per-row arrays would not be
+        # addressable on every process); padded/non-finite rows are
+        # excluded exactly (reference executor.py:103 semantics)
+        valid = batch.get(
+            "valid", jnp.ones(loss_b.shape[0], jnp.float32)
+        )
+        ok = valid * jnp.isfinite(loss_b).astype(jnp.float32)
+        out = {
+            "loss_sum": jnp.sum(jnp.where(ok > 0, loss_b, 0.0)),
+            "correct_sum": jnp.sum(correct_b * ok),
+            "count": jnp.sum(ok),
+        }
         return out
 
     def cv_step(self, state, batch):
         return self._cv_step(state, batch)
+
+    def _cv_step_full_impl(self, state, batch):
+        """Per-utterance outputs (single-host decode paths)."""
+        feats, feat_lengths = self.cv_pipeline(
+            batch["waves"], batch["wave_lengths"]
+        )
+        logits, _ = self._forward(
+            state.params, state.batch_stats, feats, feat_lengths, None, False
+        )
+        loss_b, correct_b = criterion_per_utt(
+            self.criterion_type, logits, batch["target"], feat_lengths,
+            batch.get("target_lengths"), self.min_duration,
+        )
+        out = {"loss_b": loss_b, "correct_b": correct_b,
+               "feat_lengths": feat_lengths}
+        if self.criterion_type == "ctc":
+            out["log_probs"] = jax.nn.log_softmax(logits, axis=-1)
+        return out
+
+    def cv_step_full(self, state, batch):
+        if not hasattr(self, "_cv_step_full"):
+            self._cv_step_full = jax.jit(self._cv_step_full_impl)
+        return self._cv_step_full(state, batch)
 
     # ---------------- inference ----------------
 
