@@ -55,11 +55,21 @@ def resample(wave: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
     )
 
 
-def speed_perturb(wave: np.ndarray, speed: float) -> np.ndarray:
+def speed_perturb(
+    wave: np.ndarray, speed: float, method: str = "linear"
+) -> np.ndarray:
     """sox 'speed' effect: resample playback — pitch and tempo change
-    together; output length == len(wave) / speed."""
+    together; output length == len(wave) / speed.
+
+    ``linear`` (default) interpolates — augmentation-grade quality at
+    ~4x the throughput of polyphase filtering (PERF.md); ``poly`` uses
+    the anti-aliased polyphase path."""
     if speed == 1.0:
         return wave
+    if method == "linear":
+        n_out = int(len(wave) / speed)
+        pos = np.arange(n_out, dtype=np.float64) * speed
+        return np.interp(pos, np.arange(len(wave)), wave).astype(np.float32)
     frac = Fraction(speed).limit_denominator(100)
     return _resample_poly(wave, frac.denominator, frac.numerator).astype(
         np.float32

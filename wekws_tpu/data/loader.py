@@ -1,27 +1,36 @@
-"""Multiprocess batch loading.
+"""Multiprocess batch loading with persistent workers.
 
-Equivalent of the reference's DataLoader(num_workers=N) over its
-IterableDataset (train.py:122-137): N worker processes each run a
-disjoint worker-shard of the host pipeline (wav IO, resample,
-augmentation, batching) and push finished batches through a queue.
-Workers use the 'spawn' context so they never inherit live TPU runtime
-state.  ``num_workers=0`` degrades to the in-process thread prefetcher.
+Equivalent of the reference's DataLoader(num_workers=N, persistent
+workers) over its IterableDataset (train.py:122-137): N long-lived
+worker processes each run a disjoint worker-shard of the host pipeline
+(wav IO, resample, augmentation, batching) and push finished batches
+through a queue.  Workers are spawned once and reused across epochs
+(process startup costs seconds when site hooks import heavy
+libraries); an epoch-command channel drives them.  Workers use the
+'spawn' context so they never inherit live TPU runtime state;
+``num_workers=0`` degrades to the in-process thread prefetcher.
 """
 
 import multiprocessing as mp
-from typing import Iterator
+from typing import Iterator, Optional
 
 from wekws_tpu.data.prefetch import Prefetcher
 
+_DONE = "__epoch_done__"
 
-def _worker_main(dataset, worker_id, num_workers, epoch, queue):
-    try:
-        dataset.data_list.set_worker(worker_id, num_workers)
-        dataset.set_epoch(epoch)
-        for batch in dataset:
-            queue.put(batch)
-    finally:
-        queue.put(None)
+
+def _worker_main(dataset, worker_id, num_workers, cmd_queue, out_queue):
+    dataset.data_list.set_worker(worker_id, num_workers)
+    while True:
+        epoch = cmd_queue.get()
+        if epoch is None:
+            break
+        try:
+            dataset.set_epoch(epoch)
+            for batch in dataset:
+                out_queue.put(batch)
+        finally:
+            out_queue.put(_DONE)
 
 
 class DataLoader:
@@ -30,43 +39,77 @@ class DataLoader:
     Batches from different workers interleave in arrival order; the
     per-worker shard split reproduces the reference's two-level
     rank/worker slicing, so the union over workers is exactly the rank
-    shard."""
+    shard.  NOTE: like torch's worker sharding, each worker drops its
+    own remainder batch when drop_last is set."""
 
     def __init__(self, dataset, num_workers: int = 0, prefetch: int = 8):
         self.dataset = dataset
         self.num_workers = num_workers
         self.prefetch = prefetch
         self._epoch = 0
+        self._procs: Optional[list] = None
+        self._cmd_queues = None
+        self._out_queue = None
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
         self.dataset.set_epoch(epoch)
 
+    def _ensure_workers(self):
+        if self._procs is not None:
+            return
+        ctx = mp.get_context("spawn")
+        self._out_queue = ctx.Queue(
+            maxsize=max(self.prefetch, self.num_workers)
+        )
+        self._cmd_queues = [ctx.Queue() for _ in range(self.num_workers)]
+        self._procs = []
+        for w in range(self.num_workers):
+            p = ctx.Process(
+                target=_worker_main,
+                args=(self.dataset, w, self.num_workers,
+                      self._cmd_queues[w], self._out_queue),
+                daemon=True,
+            )
+            p.start()
+            self._procs.append(p)
+
+    def close(self) -> None:
+        if self._procs is None:
+            return
+        for q in self._cmd_queues:
+            q.put(None)
+        for p in self._procs:
+            p.join(timeout=5)
+            if p.is_alive():
+                p.terminate()
+        self._procs = None
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __iter__(self) -> Iterator:
         if self.num_workers <= 0:
             yield from Prefetcher(self.dataset, self.prefetch)
             return
-        ctx = mp.get_context("spawn")
-        queue = ctx.Queue(maxsize=max(self.prefetch, self.num_workers))
-        procs = []
-        for w in range(self.num_workers):
-            p = ctx.Process(
-                target=_worker_main,
-                args=(self.dataset, w, self.num_workers, self._epoch, queue),
-                daemon=True,
-            )
-            p.start()
-            procs.append(p)
+        self._ensure_workers()
+        for q in self._cmd_queues:
+            q.put(self._epoch)
         finished = 0
         try:
             while finished < self.num_workers:
-                item = queue.get()
-                if item is None:
+                item = self._out_queue.get()
+                if isinstance(item, str) and item == _DONE:
                     finished += 1
                 else:
                     yield item
         finally:
-            for p in procs:
-                p.join(timeout=5)
-                if p.is_alive():
-                    p.terminate()
+            # abandoned mid-epoch: drain so workers can finish and the
+            # loader stays reusable
+            while finished < self.num_workers:
+                item = self._out_queue.get()
+                if isinstance(item, str) and item == _DONE:
+                    finished += 1
