@@ -40,6 +40,7 @@ class KeyWordSpotter:
         interval_frames: int = 50,
         score_beam: int = 3,
         path_beam: int = 20,
+        use_fused: bool = False,
     ):
         import dataclasses
 
@@ -81,6 +82,17 @@ class KeyWordSpotter:
                 self._variables, feats, cache, softmax=True
             )
         )
+        self._fused_init_cache = None
+        if use_fused:
+            # whole-backbone Pallas kernel (MDTC serving: 1.3-1.8x
+            # lower latency, PERF.md); falls back when unsupported
+            from wekws_tpu.ops.serving import build_fused_stream
+
+            fused = build_fused_stream(
+                self.model, self._variables, softmax=True
+            )
+            if fused is not None:
+                self._apply_jit, self._fused_init_cache = fused
         self._apply = self._bucketed_apply
 
         self.token_table = read_token(token_path)
@@ -233,7 +245,11 @@ class KeyWordSpotter:
     def reset_all(self) -> None:
         self.reset()
         self.frontend.reset()
-        self.in_cache = self.model.init_cache(1)
+        self.in_cache = (
+            self._fused_init_cache(1)
+            if getattr(self, "_fused_init_cache", None) is not None
+            else self.model.init_cache(1)
+        )
         self.total_frames = 0
         self.last_active_pos = -1
         self.result: Dict = {}
