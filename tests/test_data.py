@@ -237,3 +237,16 @@ class TestDataLoader:
             num_workers=0,
         )
         assert sum(len(b["keys"]) for b in loader) == 6
+
+
+def test_fixed_samples_batching(corpus):
+    conf = {
+        "filter_conf": {"max_length": 2048, "min_length": 0},
+        "resample_conf": {"resample_rate": 16000},
+        "shuffle": False,
+        "batch_conf": {"batch_size": 4, "bucket_samples": 8000,
+                       "fixed_samples": 16000},
+    }
+    ds = init_dataset(corpus, conf, split="cv", rank=0, world_size=1)
+    shapes = {b["waves"].shape[1] for b in ds}
+    assert shapes == {16000}

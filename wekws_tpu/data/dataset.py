@@ -137,15 +137,13 @@ class Dataset:
             it = processor.shuffle(
                 it, conf.get("shuffle_conf", {}).get("shuffle_size", 1000)
             )
+        bc = conf.get("batch_conf", {})
         it = processor.batch(
             it,
-            batch_size=conf.get("batch_conf", {}).get("batch_size", 16),
-            bucket_samples=conf.get("batch_conf", {}).get(
-                "bucket_samples", 16000
-            ),
-            drop_last=conf.get("batch_conf", {}).get(
-                "drop_last", self.split == "train"
-            ),
+            batch_size=bc.get("batch_size", 16),
+            bucket_samples=bc.get("bucket_samples", 16000),
+            drop_last=bc.get("drop_last", self.split == "train"),
+            fixed_samples=bc.get("fixed_samples", 0),
         )
         return it
 

@@ -174,6 +174,7 @@ def batch(
     max_label_len_default: int = 1,
     drop_last: bool = False,
     wave_scale: float = 32768.0,
+    fixed_samples: int = 0,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batch samples into fixed-shape arrays.
 
@@ -181,15 +182,22 @@ def batch(
     the batch max so XLA sees a small, bounded set of shapes (SURVEY.md
     §7 hard part (d)), and scaled to int16 range (the training feature
     convention, processor.py:194: wave * (1 << 15)).
+    ``fixed_samples`` pads EVERY batch to one sample count (and drops
+    longer utterances) — required for multi-host training, where all
+    processes must contribute identically shaped shards each step.
 
     Yields {keys, waves (B,S), wave_lengths (B,), target, target_lengths}.
     Integer labels -> target (B,); token sequences -> (B,U) padded -1.
     """
     buf: List[dict] = []
+    if fixed_samples:
+        data = (s for s in data if len(s["wav"]) <= fixed_samples)
 
     def emit(samples: List[dict]) -> Dict[str, np.ndarray]:
         b = len(samples)
-        smax = round_up(max(len(s["wav"]) for s in samples), bucket_samples)
+        smax = fixed_samples or round_up(
+            max(len(s["wav"]) for s in samples), bucket_samples
+        )
         waves = np.zeros((b, smax), np.float32)
         lengths = np.zeros((b,), np.int32)
         for i, s in enumerate(samples):
