@@ -258,3 +258,28 @@ class TestFsmnKaldiIO:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-4
         )
+
+
+def test_cmvn_tiled_for_context_expansion():
+    """40-dim stats auto-tile to a 200-dim spliced input (Kaldi Splice
+    semantics, utils/cmvn.py:48-93)."""
+    mean = np.arange(40, dtype=np.float32)
+    istd = np.ones(40, np.float32) * 0.5
+    cfg = {
+        "input_dim": 200, "output_dim": 3, "hidden_dim": 16,
+        "preprocessing": {"type": "none"},
+        "backbone": {"type": "fsmn", "input_affine_dim": 16,
+                     "num_layers": 1, "linear_dim": 32, "proj_dim": 16,
+                     "left_order": 3, "right_order": 1,
+                     "left_stride": 1, "right_stride": 1,
+                     "output_affine_dim": 16},
+        "classifier": {"type": "identity", "dropout": 0.0},
+        "activation": {"type": "identity"},
+        "cmvn": {"mean": mean, "istd": istd, "norm_var": True},
+    }
+    model = init_model(cfg)
+    assert model.global_cmvn.mean.shape == (200,)
+    x = rand(30, 1, 12, 200)
+    variables = model.init(jax.random.PRNGKey(31), x)
+    out, _ = model.apply(variables, x)
+    assert out.shape == (1, 12, 3)

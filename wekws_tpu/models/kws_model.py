@@ -97,16 +97,28 @@ def init_model(configs: dict) -> KWSModel:
     global_cmvn = None
     if cmvn_conf.get("cmvn_file") is not None:
         mean, istd = load_cmvn(cmvn_conf["cmvn_file"])
+    elif cmvn_conf.get("mean") is not None:
+        # inline stats (tests / programmatic use)
+        mean = np.asarray(cmvn_conf["mean"], np.float32)
+        istd = np.asarray(cmvn_conf["istd"], np.float32)
+    else:
+        mean = istd = None
+    if mean is not None:
+        input_dim_cfg = configs.get("input_dim")
+        if (
+            input_dim_cfg
+            and len(mean) != input_dim_cfg
+            and input_dim_cfg % len(mean) == 0
+        ):
+            # context-expanded input: tile per-frame stats across the
+            # splice window (the Kaldi Splice semantics of
+            # /root/reference/wekws/utils/cmvn.py:48-93)
+            reps = input_dim_cfg // len(mean)
+            mean = np.tile(mean, reps)
+            istd = np.tile(istd, reps)
         global_cmvn = GlobalCMVN(
             mean=np.asarray(mean),
             istd=np.asarray(istd),
-            norm_var=cmvn_conf.get("norm_var", True),
-        )
-    elif cmvn_conf.get("mean") is not None:
-        # inline stats (tests / programmatic use)
-        global_cmvn = GlobalCMVN(
-            mean=np.asarray(cmvn_conf["mean"], np.float32),
-            istd=np.asarray(cmvn_conf["istd"], np.float32),
             norm_var=cmvn_conf.get("norm_var", True),
         )
 
