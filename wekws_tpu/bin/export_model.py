@@ -59,10 +59,14 @@ def main():
         from wekws_tpu.export import GraphRuntime, export_model
 
         export_model(model, variables, configs, args.output_dir)
-        # parity gate
+        # parity gate — reference forward pinned to CPU so the check
+        # verifies the artifact against exact f32 semantics (a TPU
+        # forward would inject MXU default-precision noise ~4e-3)
         rng = np.random.default_rng(0)
         x = rng.standard_normal((1, 100, input_dim)).astype(np.float32)
-        want, _ = model.apply(variables, jnp.asarray(x))
+        with jax.default_device(jax.devices("cpu")[0]):
+            cpu_vars = jax.device_get(variables)
+            want, _ = model.apply(cpu_vars, jnp.asarray(x))
         want = np.asarray(want)
         rt = GraphRuntime(args.output_dir)
         got, _ = rt.forward(x[0])
