@@ -116,7 +116,8 @@ def main():
         model_conf["output_dim"] = args.num_keywords
     if args.cmvn_file is not None:
         model_conf["cmvn"] = {
-            "cmvn_file": args.cmvn_file,
+            # absolute: the resolved config is consumed from other cwds
+            "cmvn_file": os.path.abspath(args.cmvn_file),
             "norm_var": args.norm_var,
         }
     if criterion_type is None:
