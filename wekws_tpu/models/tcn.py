@@ -28,6 +28,8 @@ from typing import Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from wekws_tpu.models.layers import DepthwiseConv1d
+
 
 class CnnBlock(nn.Module):
     channel: int
@@ -43,13 +45,18 @@ class CnnBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, cache: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        y = jnp.concatenate([cache, x], axis=1)
-        new_cache = y[:, -self.padding:, :]
+        if cache is None:
+            # whole-utterance path: zero left context as implicit conv
+            # padding (see mdtc.TCNBlock for the rationale)
+            y, new_cache = x, None
+        else:
+            y = jnp.concatenate([cache, x], axis=1)
+            new_cache = y[:, -self.padding:, :]
         y = nn.Conv(
             self.channel,
             (self.kernel_size,),
             kernel_dilation=(self.dilation,),
-            padding="VALID",
+            padding=[(self.padding, 0)] if cache is None else "VALID",
             name="conv",
         )(y)
         y = nn.BatchNorm(
@@ -77,14 +84,16 @@ class DsCnnBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, cache: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        y = jnp.concatenate([cache, x], axis=1)
-        new_cache = y[:, -self.padding:, :]
-        y = nn.Conv(
+        if cache is None:
+            y, new_cache = x, None
+        else:
+            y = jnp.concatenate([cache, x], axis=1)
+            new_cache = y[:, -self.padding:, :]
+        y = DepthwiseConv1d(
             self.channel,
-            (self.kernel_size,),
-            kernel_dilation=(self.dilation,),
-            feature_group_count=self.channel,
-            padding="VALID",
+            self.kernel_size,
+            self.dilation,
+            left_pad=self.padding if cache is None else 0,
             name="dw_conv",
         )(y)
         y = nn.BatchNorm(
@@ -132,7 +141,8 @@ class TCN(nn.Module):
     ) -> Tuple[jnp.ndarray, tuple]:
         block_cls = DsCnnBlock if self.ds else CnnBlock
         if cache is None:
-            cache = self.init_cache(x.shape[0], x.dtype)
+            # whole-utterance path: implicit zero padding inside convs
+            cache = (None,) * self.num_layers
         new_caches = []
         for i in range(self.num_layers):
             block = block_cls(
