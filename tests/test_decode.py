@@ -112,3 +112,76 @@ class TestAccUtterance:
         probs = probs_for([1, 0, 2], 5, peak=0.95)[None]
         acc = acc_utterance(probs, np.array([[1, 2, 3]]), [3], [3])
         assert 0.0 < acc < 100.0
+
+
+class TestGreedyDevice:
+    """On-device greedy decode + batched Levenshtein (losses' cv
+    accuracy path) vs naive host references."""
+
+    def test_greedy_collapse(self):
+        import jax.numpy as jnp
+
+        from wekws_tpu.decode import ctc_greedy_decode
+
+        # frame argmax path: 1 1 0 2 2 2 0 0 1 -> collapse -> 1 2 1
+        path = [1, 1, 0, 2, 2, 2, 0, 0, 1]
+        logits = np.zeros((1, len(path), 4), np.float32)
+        for t, s in enumerate(path):
+            logits[0, t, s] = 5.0
+        hyps, lens = ctc_greedy_decode(
+            jnp.asarray(logits), jnp.asarray([len(path)])
+        )
+        assert int(lens[0]) == 3
+        assert list(np.asarray(hyps)[0, :3]) == [1, 2, 1]
+
+    def test_edit_distance_matches_naive(self, rng=np.random.RandomState(7)):
+        import jax.numpy as jnp
+
+        from wekws_tpu.decode import batched_edit_distance
+
+        def naive(h, r):
+            d = np.zeros((len(h) + 1, len(r) + 1), np.int32)
+            d[:, 0] = np.arange(len(h) + 1)
+            d[0, :] = np.arange(len(r) + 1)
+            for i in range(1, len(h) + 1):
+                for j in range(1, len(r) + 1):
+                    d[i, j] = min(
+                        d[i - 1, j] + 1,
+                        d[i, j - 1] + 1,
+                        d[i - 1, j - 1] + (h[i - 1] != r[j - 1]),
+                    )
+            return d[len(h), len(r)]
+
+        B, T, U = 16, 12, 8
+        hyps = rng.randint(1, 5, (B, T)).astype(np.int32)
+        hyp_lens = rng.randint(0, T + 1, (B,)).astype(np.int32)
+        refs = rng.randint(1, 5, (B, U)).astype(np.int32)
+        ref_lens = rng.randint(0, U + 1, (B,)).astype(np.int32)
+        got = np.asarray(batched_edit_distance(
+            jnp.asarray(hyps), jnp.asarray(hyp_lens),
+            jnp.asarray(refs), jnp.asarray(ref_lens),
+        ))
+        for b in range(B):
+            want = naive(list(hyps[b, :hyp_lens[b]]),
+                         list(refs[b, :ref_lens[b]]))
+            assert got[b] == want, (b, got[b], want)
+
+    def test_ctc_cv_accuracy_nonzero(self):
+        """criterion_per_utt('ctc') now reports a real quality signal
+        (VERDICT round 1: cv_acc was a constant 0 for CTC runs)."""
+        import jax.numpy as jnp
+
+        from wekws_tpu.losses import criterion_per_utt
+
+        probs = probs_for([1, 0, 2, 0, 3], 5, peak=0.95)[None]
+        logits = jnp.log(jnp.asarray(probs) + 1e-8)
+        loss_b, acc_b = criterion_per_utt(
+            "ctc", logits, jnp.asarray([[1, 2, 3]]),
+            jnp.asarray([5]), jnp.asarray([3]),
+        )
+        assert float(acc_b[0]) == 1.0
+        loss_b, acc_b = criterion_per_utt(
+            "ctc", logits, jnp.asarray([[1, 2, 9]]),
+            jnp.asarray([5]), jnp.asarray([3]),
+        )
+        assert abs(float(acc_b[0]) - 2.0 / 3.0) < 1e-6

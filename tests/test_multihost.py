@@ -84,3 +84,112 @@ def test_two_process_data_parallel(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
         assert "MH_OK" in out
+
+
+BUCKET_WORKER = r'''
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+data_list = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, %(repo)r)
+import numpy as np
+from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
+from wekws_tpu.data.dataset import init_dataset
+from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+from wekws_tpu.models import init_model
+from wekws_tpu.parallel import make_mesh
+from wekws_tpu.parallel.mesh import make_global_batch
+from wekws_tpu.train import Trainer
+
+mesh = make_mesh()
+model = init_model(FLAGSHIP_MODEL_CONF)
+pipe = DeviceFeaturePipeline.from_conf(DATASET_CONF, True)
+cvp = DeviceFeaturePipeline.from_conf(DATASET_CONF, False)
+tr = Trainer(model, pipe, cvp, "max_pooling", learning_rate=1e-3,
+             min_duration=5)
+conf = {
+    "filter_conf": {"max_length": 20480, "min_length": 0},
+    "resample_conf": {"resample_rate": 16000},
+    "shuffle": True,
+    "batch_conf": {"batch_size": 4,
+                   "bucket_boundaries": [16000, 32000]},
+}
+ds = init_dataset(data_list, conf, split="train", rank=pid, world_size=2)
+ds.set_epoch(2)
+state = None
+shapes = []
+for b in ds:
+    arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+    gb = make_global_batch(arrays, mesh)
+    if state is None:
+        state = tr.init_state(jax.random.PRNGKey(0), b, mesh)
+    state, m = tr.train_step(state, gb, jax.random.PRNGKey(1), 1e-3)
+    loss = float(jax.device_get(m["loss"]))
+    assert np.isfinite(loss), loss
+    shapes.append(tuple(b["waves"].shape))
+assert len(set(shapes)) >= 2, shapes  # schedule used >= 2 buckets
+print(f"MH_BUCKET_SHAPES={shapes}", flush=True)
+''' % {"repo": REPO}
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_MULTIHOST") != "1",
+    reason="slow 2-process test; set RUN_MULTIHOST=1",
+)
+def test_two_process_bucketed_lockstep(tmp_path):
+    """Bucket-scheduled batching keeps two REAL processes in lockstep:
+    same shape sequence, same batch count, train steps finite — with a
+    deliberately skewed length distribution so the ranks' local bucket
+    compositions differ."""
+    import json
+
+    import numpy as np
+
+    from wekws_tpu.data.audio import write_wav
+
+    lines = []
+    rng = np.random.default_rng(0)
+    for i in range(24):
+        # skewed: first half short, second half long — ranks slice
+        # rank::2 from a shuffled list, so compositions differ
+        n = 12000 + 500 * (i % 4) if i < 12 else 26000 + 500 * (i % 4)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), (0.2 * rng.standard_normal(n)).astype(np.float32),
+                  16000)
+        lines.append(json.dumps({
+            "key": f"u{i}", "txt": str(i % 2), "wav": str(p),
+            "duration": n / 16000.0,
+        }))
+    lst = tmp_path / "data.list"
+    lst.write_text("\n".join(lines))
+
+    worker = tmp_path / "bucket_worker.py"
+    worker.write_text(BUCKET_WORKER)
+    port = "12395"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker), str(i), port, str(lst)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    shape_lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if "MH_BUCKET_SHAPES" in l]
+        assert line, out[-2000:]
+        shape_lines.append(line[0])
+    assert shape_lines[0] == shape_lines[1]

@@ -49,6 +49,17 @@ class DataList:
         self.worker_id = worker_id
         self.num_workers = num_workers
 
+    def shard_size(self) -> int:
+        """Per-process sample count after wraparound equalization —
+        identical on every process (the basis for deterministic
+        lockstep batch counts)."""
+        n = len(self.lines)
+        if not self.partition or self.world_size <= 1:
+            return n
+        if n % self.world_size:
+            n += self.world_size - n % self.world_size
+        return n // self.world_size
+
     def __iter__(self) -> Iterator[dict]:
         data = list(range(len(self.lines)))
         if self.shuffle:
@@ -108,6 +119,126 @@ class Dataset:
                 self._noise_store = open_store(conf["noise_source"], seed)
             if conf.get("reverb_prob", 0) > 0 and conf.get("reverb_source"):
                 self._reverb_store = open_store(conf["reverb_source"], seed)
+        bc = conf.get("batch_conf", {})
+        self.bucket_boundaries = sorted(bc.get("bucket_boundaries", []))
+        # ordered=True tells the DataLoader that batch ORDER is part of
+        # the contract (the bucket schedule): worker outputs must merge
+        # round-robin, not in arrival order
+        self.ordered = bool(self.bucket_boundaries)
+        self._bucket_weights_cache = None
+
+    def bucket_weights(self) -> List[float]:
+        """Per-bucket sample-count weights from the ``duration`` fields
+        of the (global, identical-on-every-process) data list.  Falls
+        back to uniform when durations are absent — then the schedule
+        still guarantees lockstep, just with more fill rows."""
+        if self._bucket_weights_cache is not None:
+            return self._bucket_weights_cache
+        import json as _json
+
+        sr = self.conf.get("resample_conf", {}).get("resample_rate", 16000)
+        counts = [0] * len(self.bucket_boundaries)
+        n_dur = 0
+        for line in self.data_list.lines:
+            try:
+                d = _json.loads(line).get("duration")
+            except Exception:
+                d = None
+            if d is None:
+                continue
+            n_dur += 1
+            samples = int(float(d) * sr)
+            for j, bound in enumerate(self.bucket_boundaries):
+                if samples <= bound:
+                    counts[j] += 1
+                    break
+        if n_dur < max(1, len(self.data_list.lines) // 2) or not sum(counts):
+            weights = [1.0] * len(self.bucket_boundaries)
+        else:
+            weights = [max(c, 1e-9) for c in counts]
+        self._bucket_weights_cache = weights
+        return weights
+
+    def _planned_bucket_counts(self, epoch: int) -> Optional[List[List[int]]]:
+        """Per-rank per-bucket sample counts, reconstructed exactly by
+        EVERY process from shared inputs (global list + durations +
+        epoch seed): the shard assignment is a deterministic function
+        of Random(epoch).shuffle over the full index list, so each
+        process can simulate all ranks' shards.  Returns None when
+        durations are missing (fallback schedules apply)."""
+        import json as _json
+
+        lines = self.data_list.lines
+        sr = self.conf.get("resample_conf", {}).get("resample_rate", 16000)
+        durs = []
+        for line in lines:
+            try:
+                d = _json.loads(line).get("duration")
+            except Exception:
+                d = None
+            if d is None:
+                return None
+            durs.append(int(float(d) * sr))
+        nb = len(self.bucket_boundaries)
+
+        def bucket_of(n: int) -> int:
+            for j, bound in enumerate(self.bucket_boundaries):
+                if n <= bound:
+                    return j
+            return -1  # dropped upstream
+
+        dl = self.data_list
+        idx = list(range(len(lines)))
+        if dl.shuffle:
+            random.Random(epoch).shuffle(idx)
+        world = dl.world_size if dl.partition else 1
+        if dl.partition and world > 1 and len(idx) % world:
+            idx = idx + idx[: world - len(idx) % world]
+        counts = [[0] * nb for _ in range(world)]
+        for r in range(world):
+            shard = idx[r::world] if dl.partition else idx
+            for i in shard:
+                j = bucket_of(durs[i])
+                if j >= 0:
+                    counts[r][j] += 1
+        return counts
+
+    def make_bucket_schedule(self, epoch: int) -> List[int]:
+        """The global bucket-index schedule for ``epoch`` — every
+        process (and every loader worker, via its slot slice) computes
+        the identical list from shared inputs only: seed, epoch, global
+        list length, durations, config.
+
+        With durations present the schedule allocates, per bucket, the
+        max over ranks of the batches that rank needs — every sample is
+        guaranteed a slot (exact cv accounting), ranks with fewer
+        samples in a bucket emit fill rows.  Train order is shuffled;
+        cv runs buckets back-to-back (maximum queue locality).  Without
+        durations: train falls back to weighted random draws, cv to
+        all-cap batches (always exact)."""
+        bc = self.conf.get("batch_conf", {})
+        batch_size = bc.get("batch_size", 16)
+        nb = len(self.bucket_boundaries)
+        counts = self._planned_bucket_counts(epoch)
+        if counts is not None:
+            per_bucket = [
+                max((c[j] + batch_size - 1) // batch_size for c in counts)
+                for j in range(nb)
+            ]
+            schedule = [
+                j for j in range(nb) for _ in range(per_bucket[j])
+            ]
+            if self.split == "train":
+                random.Random(self.seed * 1000003 + epoch).shuffle(schedule)
+            return schedule or [nb - 1]
+        shard = self.data_list.shard_size()
+        n_batches = max((shard + batch_size - 1) // batch_size, 1)
+        if self.split != "train":
+            return [nb - 1] * n_batches
+        rnd = random.Random(self.seed * 1000003 + epoch)
+        return rnd.choices(
+            range(nb), weights=self.bucket_weights(), k=n_batches
+        )
 
     def set_epoch(self, epoch: int) -> None:
         self.data_list.set_epoch(epoch)
@@ -138,13 +269,35 @@ class Dataset:
                 it, conf.get("shuffle_conf", {}).get("shuffle_size", 1000)
             )
         bc = conf.get("batch_conf", {})
-        it = processor.batch(
-            it,
-            batch_size=bc.get("batch_size", 16),
-            bucket_samples=bc.get("bucket_samples", 16000),
-            drop_last=bc.get("drop_last", self.split == "train"),
-            fixed_samples=bc.get("fixed_samples", 0),
-        )
+        if self.bucket_boundaries:
+            schedule = self.make_bucket_schedule(self.data_list.epoch)
+            dl = self.data_list
+            if dl.num_workers > 1:
+                # worker w owns schedule slots w, w+W, ... — the loader
+                # reassembles global order by round-robin merge
+                schedule = schedule[dl.worker_id :: dl.num_workers]
+            fixed_label_len = bc.get("max_label_len", 0)
+            if not fixed_label_len and self.tokenizer is not None:
+                fixed_label_len = conf.get("filter_conf", {}).get(
+                    "token_max_length", 200
+                )
+            it = processor.bucket_batch(
+                it,
+                batch_size=bc.get("batch_size", 16),
+                bucket_boundaries=self.bucket_boundaries,
+                schedule=schedule,
+                fill="duplicate" if self.split == "train" else "invalid",
+                buffer_cap=bc.get("bucket_buffer_cap", 0),
+                max_label_len=fixed_label_len,
+            )
+        else:
+            it = processor.batch(
+                it,
+                batch_size=bc.get("batch_size", 16),
+                bucket_samples=bc.get("bucket_samples", 16000),
+                drop_last=bc.get("drop_last", self.split == "train"),
+                fixed_samples=bc.get("fixed_samples", 0),
+            )
         return it
 
 

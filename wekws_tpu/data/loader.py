@@ -28,9 +28,9 @@ def _worker_main(dataset, worker_id, num_workers, cmd_queue, out_queue):
         try:
             dataset.set_epoch(epoch)
             for batch in dataset:
-                out_queue.put(batch)
+                out_queue.put((worker_id, batch))
         finally:
-            out_queue.put(_DONE)
+            out_queue.put((worker_id, _DONE))
 
 
 class DataLoader:
@@ -99,17 +99,40 @@ class DataLoader:
         for q in self._cmd_queues:
             q.put(self._epoch)
         finished = 0
+        ordered = bool(getattr(self.dataset, "ordered", False))
+        buffers = [[] for _ in range(self.num_workers)]
+        next_w = 0
         try:
-            while finished < self.num_workers:
-                item = self._out_queue.get()
-                if isinstance(item, str) and item == _DONE:
-                    finished += 1
-                else:
-                    yield item
+            if not ordered:
+                while finished < self.num_workers:
+                    w, item = self._out_queue.get()
+                    if isinstance(item, str) and item == _DONE:
+                        finished += 1
+                    else:
+                        yield item
+                return
+            # ordered (bucket-scheduled) mode: worker w produced the
+            # schedule slots w, w+W, ...; re-interleave round-robin so
+            # the emitted order IS the global schedule — required for
+            # multi-host lockstep shapes
+            done = [False] * self.num_workers
+            while True:
+                while not buffers[next_w] and not done[next_w]:
+                    w, item = self._out_queue.get()
+                    if isinstance(item, str) and item == _DONE:
+                        finished += 1
+                        done[w] = True
+                    else:
+                        buffers[w].append(item)
+                if buffers[next_w]:
+                    yield buffers[next_w].pop(0)
+                elif all(done) and not any(buffers):
+                    return
+                next_w = (next_w + 1) % self.num_workers
         finally:
             # abandoned mid-epoch: drain so workers can finish and the
             # loader stays reusable
             while finished < self.num_workers:
-                item = self._out_queue.get()
+                w, item = self._out_queue.get()
                 if isinstance(item, str) and item == _DONE:
                     finished += 1

@@ -167,6 +167,55 @@ def round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
+def _emit_batch(
+    samples: List[dict],
+    smax: int,
+    wave_scale: float,
+    n_fill: int = 0,
+    fixed_label_len: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Assemble fixed-shape arrays from ``samples`` (+ ``n_fill``
+    zero rows marked invalid).  ``fixed_label_len`` forces the
+    label-pad width exactly (bucketed lockstep batches must agree on
+    it globally; longer label lists are truncated — upstream
+    filter_length already enforces the cap)."""
+    b = len(samples) + n_fill
+    waves = np.zeros((b, smax), np.float32)
+    lengths = np.ones((b,), np.int32)  # fill rows: 1 sample, no NaNs
+    valid = np.zeros((b,), np.float32)
+    for i, s in enumerate(samples):
+        n = len(s["wav"])
+        waves[i, :n] = s["wav"] * wave_scale
+        lengths[i] = n
+        valid[i] = 0.0 if s.get("_fill") else 1.0
+    labels = [s.get("label", 0) for s in samples]
+    # fixed_label_len > 0 forces the token-sequence layout even for an
+    # all-fill batch (all processes must agree on the target rank)
+    if (labels and isinstance(labels[0], list)) or fixed_label_len:
+        labels = [l if isinstance(l, list) else [l] for l in labels]
+        umax = fixed_label_len or max(
+            max((len(l) for l in labels), default=1), 1
+        )
+        target = np.full((b, umax), -1, np.int32)
+        target_lengths = np.ones((b,), np.int32)
+        for i, l in enumerate(labels):
+            l = l[:umax]
+            target[i, : len(l)] = l
+            target_lengths[i] = max(len(l), 1)
+    else:
+        target = np.zeros((b,), np.int32)
+        target[: len(labels)] = np.asarray(labels, np.int32)
+        target_lengths = np.ones((b,), np.int32)
+    return dict(
+        keys=[s["key"] for s in samples] + ["<fill>"] * n_fill,
+        waves=waves,
+        wave_lengths=lengths,
+        target=target,
+        target_lengths=target_lengths,
+        valid=valid,
+    )
+
+
 def batch(
     data: Iterable[dict],
     batch_size: int = 16,
@@ -183,45 +232,22 @@ def batch(
     §7 hard part (d)), and scaled to int16 range (the training feature
     convention, processor.py:194: wave * (1 << 15)).
     ``fixed_samples`` pads EVERY batch to one sample count (and drops
-    longer utterances) — required for multi-host training, where all
-    processes must contribute identically shaped shards each step.
+    longer utterances) — the simplest multi-host lockstep shape policy
+    (``bucket_batch`` below is the efficient one).
 
-    Yields {keys, waves (B,S), wave_lengths (B,), target, target_lengths}.
-    Integer labels -> target (B,); token sequences -> (B,U) padded -1.
+    Yields {keys, waves (B,S), wave_lengths (B,), target,
+    target_lengths, valid}.  Integer labels -> target (B,); token
+    sequences -> (B,U) padded -1.
     """
     buf: List[dict] = []
     if fixed_samples:
         data = (s for s in data if len(s["wav"]) <= fixed_samples)
 
     def emit(samples: List[dict]) -> Dict[str, np.ndarray]:
-        b = len(samples)
         smax = fixed_samples or round_up(
             max(len(s["wav"]) for s in samples), bucket_samples
         )
-        waves = np.zeros((b, smax), np.float32)
-        lengths = np.zeros((b,), np.int32)
-        for i, s in enumerate(samples):
-            n = len(s["wav"])
-            waves[i, :n] = s["wav"] * wave_scale
-            lengths[i] = n
-        labels = [s.get("label", 0) for s in samples]
-        if labels and isinstance(labels[0], list):
-            umax = max(max((len(l) for l in labels), default=1), 1)
-            target = np.full((b, umax), -1, np.int32)
-            target_lengths = np.zeros((b,), np.int32)
-            for i, l in enumerate(labels):
-                target[i, : len(l)] = l
-                target_lengths[i] = len(l)
-        else:
-            target = np.asarray(labels, np.int32)
-            target_lengths = np.ones((b,), np.int32)
-        return dict(
-            keys=[s["key"] for s in samples],
-            waves=waves,
-            wave_lengths=lengths,
-            target=target,
-            target_lengths=target_lengths,
-        )
+        return _emit_batch(samples, smax, wave_scale)
 
     for sample in data:
         buf.append(sample)
@@ -230,3 +256,116 @@ def batch(
             buf = []
     if buf and not drop_last:
         yield emit(buf)
+
+
+def bucket_batch(
+    data: Iterable[dict],
+    batch_size: int,
+    bucket_boundaries: List[int],
+    schedule: List[int],
+    wave_scale: float = 32768.0,
+    fill: str = "duplicate",
+    buffer_cap: int = 0,
+    max_label_len: int = 1,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Length-bucketed batching under a fixed global schedule.
+
+    Multi-host SPMD training requires every process to contribute an
+    identically shaped shard each step, WITHOUT communicating.  Padding
+    every utterance to the global cap (``fixed_samples``) satisfies
+    that at ~10x wasted compute for typical KWS corpora (2 s median
+    utterances vs a 20 s cap).  Instead, all processes follow the same
+    precomputed ``schedule`` of bucket indices (epoch-seeded, built
+    from globally known data — see Dataset.make_bucket_schedule), so at
+    step k every process emits a batch padded only to
+    ``bucket_boundaries[schedule[k]]``.
+
+    Each process fills the scheduled bucket from its own stream via
+    per-bucket queues.  When the scheduled bucket cannot be filled
+    (distribution skew, filtered samples, stream end), rows are filled
+    with:
+
+      * ``fill='duplicate'`` (train): repeats of already-seen samples
+        that fit the bucket — the same duplicate-sample semantics as
+        the reference DistributedSampler's wraparound equalization
+        (/root/reference/wekws/dataset/dataset.py:62-66); falls back to
+        invalid zero rows when nothing has been seen yet.
+      * ``fill='invalid'`` (cv/test): zero rows with ``valid=0`` so the
+        exact-accounting cv loop excludes them.
+
+    Samples longer than the last boundary are dropped (as with
+    ``fixed_samples``).  ``buffer_cap`` bounds queued samples; on
+    overflow the longest queue is trimmed (dropped samples reappear in
+    a later epoch's shuffle).  Emits exactly ``len(schedule)`` batches
+    of static shape (batch_size, boundary) — deterministic step count
+    regardless of how many samples survive upstream filters, which the
+    fixed_samples path could not guarantee.
+    """
+    boundaries = sorted(bucket_boundaries)
+    nb = len(boundaries)
+    queues: List[List[dict]] = [[] for _ in range(nb)]
+    seen: List[List[dict]] = [[] for _ in range(nb)]  # duplicate pool
+    buffer_cap = buffer_cap or 64 * batch_size
+    it = iter(data)
+    exhausted = False
+
+    def bucket_of(n: int) -> int:
+        for j, bound in enumerate(boundaries):
+            if n <= bound:
+                return j
+        return -1
+
+    def buffered() -> int:
+        return sum(len(q) for q in queues)
+
+    def pull_until(b: int) -> None:
+        nonlocal exhausted
+        while (
+            not exhausted
+            and len(queues[b]) < batch_size
+            and buffered() < buffer_cap
+        ):
+            try:
+                s = next(it)
+            except StopIteration:
+                exhausted = True
+                return
+            j = bucket_of(len(s["wav"]))
+            if j >= 0:
+                queues[j].append(s)
+        if len(queues[b]) < batch_size and buffered() >= buffer_cap:
+            longest = max(range(nb), key=lambda j: len(queues[j]))
+            if longest != b and queues[longest]:
+                drop = len(queues[longest]) // 2
+                del queues[longest][:drop]
+
+    for b in schedule:
+        pull_until(b)
+        rows = queues[b][:batch_size]
+        del queues[b][:batch_size]
+        n_short = batch_size - len(rows)
+        if n_short:
+            # real data from shorter buckets first (extra padding only)
+            for j in range(b - 1, -1, -1):
+                take = queues[j][:n_short]
+                del queues[j][:n_short]
+                rows.extend(take)
+                n_short = batch_size - len(rows)
+                if not n_short:
+                    break
+        if n_short and fill == "duplicate":
+            pool = [s for j in range(b + 1) for s in seen[j]]
+            if pool:
+                for i in range(n_short):
+                    rows.append(pool[i % len(pool)])
+                n_short = 0
+        for s in rows:
+            j = bucket_of(len(s["wav"]))
+            pool = seen[j]
+            pool.append(s)
+            if len(pool) > batch_size:
+                del pool[: len(pool) - batch_size]
+        yield _emit_batch(
+            rows, boundaries[b], wave_scale, n_fill=n_short,
+            fixed_label_len=max_label_len,
+        )

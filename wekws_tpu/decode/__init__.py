@@ -8,8 +8,16 @@ from wekws_tpu.decode.batched_ctc import (
     batched_ctc_prefix_beam_search,
     hyps_from_arrays,
 )
+from wekws_tpu.decode.greedy import (
+    batched_edit_distance,
+    ctc_greedy_decode,
+    ctc_token_accuracy,
+)
 
 __all__ = [
+    "batched_edit_distance",
+    "ctc_greedy_decode",
+    "ctc_token_accuracy",
     "PrefixBeam",
     "ctc_prefix_beam_search",
     "Calculator",

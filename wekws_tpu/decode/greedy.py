@@ -60,9 +60,7 @@ def ctc_greedy_decode(
     )
     keep = valid & (ids != blank_id) & (ids != prev)
     # stable compaction: kept positions first, original order preserved
-    order = jnp.argsort(
-        jnp.where(keep, 0, 1), axis=1, stable=True, kind="stable"
-    )
+    order = jnp.argsort(jnp.where(keep, 0, 1), axis=1, stable=True)
     hyps = jnp.take_along_axis(ids, order, axis=1)
     hyp_lengths = jnp.sum(keep, axis=1)
     pos = jnp.arange(t)[None, :]

@@ -124,8 +124,25 @@ def criterion(
     lengths: jnp.ndarray,
     target_lengths: Optional[jnp.ndarray] = None,
     min_duration: int = 0,
+    valid: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Dispatch on 'ce' | 'max_pooling' | 'ctc' — loss.py:183-203."""
+    """Dispatch on 'ce' | 'max_pooling' | 'ctc' — loss.py:183-203.
+
+    ``valid`` (B,) 0/1 excludes filler rows (bucketed batches may carry
+    schedule-fill rows that hold no data) from both the loss mean and
+    the accuracy — the gradient is exactly the masked-batch gradient.
+    """
+    if valid is not None:
+        loss_b, correct_b = criterion_per_utt(
+            loss_type, logits, target, lengths, target_lengths,
+            min_duration,
+        )
+        n = jnp.maximum(jnp.sum(valid), 1.0)
+        loss = jnp.sum(loss_b * valid) / n
+        acc = jnp.sum(correct_b * valid) / n
+        if loss_type == "ce":
+            acc = acc * 100.0  # acc_frame reports percent
+        return loss, acc
     if loss_type == "ce":
         return cross_entropy(logits, target)
     if loss_type == "max_pooling":
@@ -162,5 +179,12 @@ def criterion_per_utt(
             logits, logit_pad, target.astype(jnp.int32), label_pad,
             blank_id=0,
         )
-        return loss_b, jnp.zeros_like(loss_b)
+        # on-device greedy token accuracy — the cv-quality signal the
+        # reference computes with a host-side beam decode
+        # (loss.py:100-131); greedy + batched Levenshtein stays inside
+        # the jitted cv step at negligible cost
+        from wekws_tpu.decode.greedy import ctc_token_accuracy
+
+        acc_b = ctc_token_accuracy(logits, target, lengths, target_lengths)
+        return loss_b, acc_b
     raise ValueError(f"unknown criterion {loss_type}")

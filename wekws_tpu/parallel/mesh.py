@@ -59,7 +59,8 @@ def pad_batch_to_multiple(
     b = batch["waves"].shape[0]
     rem = (-b) % multiple
     out = dict(batch)
-    out["valid"] = np.ones((b,), np.float32)
+    if "valid" not in out:  # bucketed batches carry their own mask
+        out["valid"] = np.ones((b,), np.float32)
     if rem == 0:
         return out
     for key, val in list(out.items()):

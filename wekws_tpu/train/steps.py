@@ -171,6 +171,7 @@ class Trainer:
                 feat_lengths,
                 batch.get("target_lengths"),
                 self.min_duration,
+                valid=batch.get("valid"),
             )
             return loss, (acc, new_stats)
 
