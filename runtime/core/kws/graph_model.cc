@@ -1,5 +1,6 @@
 #include "kws/graph_model.h"
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -38,6 +39,21 @@ inline void Activate(float* x, int n, const std::string& act) {
   } else if (act == "sigmoid") {
     for (int i = 0; i < n; ++i) x[i] = 1.0f / (1.0f + std::exp(-x[i]));
   }
+}
+
+// f32 -> zero-point-shifted int32: clamp(nearbyint(x/s) + zp, -128,
+// 127) - zp.  nearbyint under the default FE_TONEAREST mode rounds
+// half-to-even, bit-matching the numpy spec's np.rint
+// (wekws_tpu/export/np_runtime.py:_quantize_shifted).
+std::vector<int32_t> QuantizeShifted(const float* x, size_t n, float scale,
+                                     int zp) {
+  std::vector<int32_t> out(n);
+  for (size_t i = 0; i < n; ++i) {
+    float q = std::nearbyint(x[i] / scale) + static_cast<float>(zp);
+    q = std::min(127.0f, std::max(-128.0f, q));
+    out[i] = static_cast<int32_t>(q) - zp;
+  }
+  return out;
 }
 
 // y (t_out, cout) += ext[t + tap*dilation] @ w[tap]; w: (k, cin, cout)
@@ -134,17 +150,30 @@ void GraphModel::Load(const std::string& model_dir) {
             t.shape.push_back(dim);
             size *= dim;
           }
-          t.data.resize(size);
           if (tag == "w") {
             WEKWS_CHECK(offset + size <= f32.size());
-            std::copy(f32.begin() + offset, f32.begin() + offset + size,
-                      t.data.begin());
-          } else {  // dequantize per output channel (last axis)
+            t.data.assign(f32.begin() + offset, f32.begin() + offset + size);
+          } else {
             WEKWS_CHECK(offset + size <= i8.size());
             const int cout = t.shape.back();
-            for (size_t i = 0; i < size; ++i) {
-              t.data[i] = static_cast<float>(i8[offset + i]) *
-                          f32[scale_offset + (i % cout)];
+            // statically calibrated matmul ops execute in int8: keep
+            // the raw weights + per-channel scales (attrs precede
+            // weights on the op line, so in_scale is already parsed)
+            const bool int8_exec =
+                op.attrs.count("in_scale") != 0 && name == "W" &&
+                (op.op == "dense" || op.op == "conv" ||
+                 op.op == "dw_conv");
+            if (int8_exec) {
+              t.qdata.assign(i8.begin() + offset,
+                             i8.begin() + offset + size);
+              t.data.assign(f32.begin() + scale_offset,
+                            f32.begin() + scale_offset + cout);
+            } else {  // dequantize per output channel (last axis)
+              t.data.resize(size);
+              for (size_t i = 0; i < size; ++i) {
+                t.data[i] = static_cast<float>(i8[offset + i]) *
+                            f32[scale_offset + (i % cout)];
+              }
             }
           }
           op.weights[name] = std::move(t);
@@ -185,19 +214,45 @@ Matrix GraphModel::Forward(const Matrix& feats,
       WEKWS_CHECK(x.cols == cin) << op.op << ": " << x.cols << " vs " << cin;
       y = Matrix(x.rows, cout);
       auto bias = op.weights.find("b_");
-      for (int t = 0; t < x.rows; ++t) {
-        const float* in = x.row(t);
-        float* out = y.row(t);
-        if (bias != op.weights.end()) {
-          std::copy(bias->second.data.begin(), bias->second.data.end(), out);
+      if (w.is_int8()) {
+        // static int8 execution: quantize the activation row with the
+        // calibrated (scale, zero_point), int32 dot, dequantize via
+        // in_scale * weight_scale[channel]
+        const float s = op.fattr("in_scale");
+        const int zp = op.iattr("in_zp");
+        std::vector<int32_t> acc(cout);
+        for (int t = 0; t < x.rows; ++t) {
+          std::vector<int32_t> xq = QuantizeShifted(x.row(t), cin, s, zp);
+          std::fill(acc.begin(), acc.end(), 0);
+          for (int ci = 0; ci < cin; ++ci) {
+            const int32_t v = xq[ci];
+            if (v == 0) continue;
+            const int8_t* wr = w.qdata.data() + ci * cout;
+            for (int co = 0; co < cout; ++co) acc[co] += v * wr[co];
+          }
+          float* out = y.row(t);
+          for (int co = 0; co < cout; ++co) {
+            out[co] = static_cast<float>(acc[co]) * (s * w.data[co]);
+            if (bias != op.weights.end()) out[co] += bias->second.data[co];
+          }
+          Activate(out, cout, op.sattr("act", "none"));
         }
-        for (int ci = 0; ci < cin; ++ci) {
-          const float v = in[ci];
-          if (v == 0.0f) continue;
-          const float* wr = w.data.data() + ci * cout;
-          for (int co = 0; co < cout; ++co) out[co] += v * wr[co];
+      } else {
+        for (int t = 0; t < x.rows; ++t) {
+          const float* in = x.row(t);
+          float* out = y.row(t);
+          if (bias != op.weights.end()) {
+            std::copy(bias->second.data.begin(), bias->second.data.end(),
+                      out);
+          }
+          for (int ci = 0; ci < cin; ++ci) {
+            const float v = in[ci];
+            if (v == 0.0f) continue;
+            const float* wr = w.data.data() + ci * cout;
+            for (int co = 0; co < cout; ++co) out[co] += v * wr[co];
+          }
+          Activate(out, cout, op.sattr("act", "none"));
         }
-        Activate(out, cout, op.sattr("act", "none"));
       }
     } else if (op.op == "conv" || op.op == "dw_conv") {
       const Tensor& w = op.weights.at("W");
@@ -216,7 +271,62 @@ Matrix GraphModel::Forward(const Matrix& feats,
                   ext.row(ext.rows - pad + t) + ext.cols, cache.row(t));
       }
       const int t_out = ext.rows - pad;
-      if (op.op == "dw_conv") {
+      if (w.is_int8()) {
+        // static int8 execution over the cache-extended buffer (the
+        // cache holds this buffer's own history, so one calibrated
+        // scale covers it)
+        const float s = op.fattr("in_scale");
+        const int zp = op.iattr("in_zp");
+        std::vector<int32_t> extq = QuantizeShifted(
+            ext.data.data(), ext.data.size(), s, zp);
+        auto bias = op.weights.find("b_");
+        if (op.op == "dw_conv") {
+          const int c = w.dim(1);
+          y = Matrix(t_out, c);
+          std::vector<int32_t> acc(c);
+          for (int t = 0; t < t_out; ++t) {
+            std::fill(acc.begin(), acc.end(), 0);
+            for (int tap = 0; tap < k; ++tap) {
+              const int32_t* in =
+                  extq.data() + (t + tap * dilation) * ext.cols;
+              const int8_t* wt = w.qdata.data() + tap * c;
+              for (int ci = 0; ci < c; ++ci) acc[ci] += in[ci] * wt[ci];
+            }
+            float* out = y.row(t);
+            for (int ci = 0; ci < c; ++ci) {
+              out[ci] = static_cast<float>(acc[ci]) * (s * w.data[ci]);
+              if (bias != op.weights.end())
+                out[ci] += bias->second.data[ci];
+            }
+            Activate(out, c, op.sattr("act", "none"));
+          }
+        } else {
+          const int cin = w.dim(1), cout = w.dim(2);
+          y = Matrix(t_out, cout);
+          std::vector<int32_t> acc(cout);
+          for (int t = 0; t < t_out; ++t) {
+            std::fill(acc.begin(), acc.end(), 0);
+            for (int tap = 0; tap < k; ++tap) {
+              const int32_t* in =
+                  extq.data() + (t + tap * dilation) * ext.cols;
+              const int8_t* wt = w.qdata.data() + tap * cin * cout;
+              for (int ci = 0; ci < cin; ++ci) {
+                const int32_t v = in[ci];
+                if (v == 0) continue;
+                const int8_t* wr = wt + ci * cout;
+                for (int co = 0; co < cout; ++co) acc[co] += v * wr[co];
+              }
+            }
+            float* out = y.row(t);
+            for (int co = 0; co < cout; ++co) {
+              out[co] = static_cast<float>(acc[co]) * (s * w.data[co]);
+              if (bias != op.weights.end())
+                out[co] += bias->second.data[co];
+            }
+            Activate(out, cout, op.sattr("act", "none"));
+          }
+        }
+      } else if (op.op == "dw_conv") {
         const int c = w.dim(1);
         y = Matrix(t_out, c);
         auto bias = op.weights.find("b_");

@@ -28,8 +28,11 @@ struct Matrix {
 
 struct Tensor {
   std::vector<int> shape;
-  std::vector<float> data;  // dequantized at load
+  std::vector<float> data;     // float weights (dequantized at load), or
+                               // per-channel scales when qdata is set
+  std::vector<int8_t> qdata;   // raw int8 weights: static-quant execution
   int dim(int i) const { return shape[i]; }
+  bool is_int8() const { return !qdata.empty(); }
 };
 
 struct OpDef {
@@ -43,10 +46,17 @@ struct OpDef {
     auto it = attrs.find(key);
     return it == attrs.end() ? fallback : std::stoi(it->second);
   }
+  float fattr(const std::string& key, float fallback = 0.0f) const {
+    auto it = attrs.find(key);
+    return it == attrs.end() ? fallback : std::stof(it->second);
+  }
   std::string sattr(const std::string& key,
                     const std::string& fallback = "") const {
     auto it = attrs.find(key);
     return it == attrs.end() ? fallback : it->second;
+  }
+  bool has_attr(const std::string& key) const {
+    return attrs.count(key) != 0;
   }
 };
 

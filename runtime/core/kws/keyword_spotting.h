@@ -31,6 +31,7 @@ class KeywordSpotting {
 
   void Reset();
   const GraphModel& model() const { return model_; }
+  int sample_rate() const { return model_.feature().sample_rate; }
 
  private:
   GraphModel model_;

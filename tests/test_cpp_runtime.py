@@ -167,3 +167,75 @@ def test_kws_main_binary(capi, tmp_path, rng):
     lines = [l for l in result.stdout.splitlines() if l.startswith("frame")]
     assert len(lines) == 98
     assert all(len(l.split()) == 2 + 3 for l in lines)
+
+
+def test_cpp_static_quantized_matches_np_spec(capi, tmp_path, rng):
+    """Static int8 EXECUTION parity: the C++ integer path must match
+    the numpy executable spec (np_runtime int8 path) to float noise —
+    same observers, same zero-point arithmetic, same int32
+    accumulation — and stay within DET-meaningful distance of f32."""
+    from wekws_tpu.export import GraphRuntime
+    from wekws_tpu.export.calibrate import feats_from_waves
+    from wekws_tpu.export.quantize import quantize_artifact
+
+    model, variables, dataset_conf, out_dir = export_tiny_model(tmp_path)
+    calib_waves = [
+        (rng.standard_normal(12000) * 1000).astype(np.float32)
+        for _ in range(6)
+    ]
+    calib = feats_from_waves(out_dir, calib_waves)
+    qdir = str(tmp_path / "static_q")
+    artifact = quantize_artifact(out_dir, qdir, calib_feats=calib)
+    assert artifact["meta"]["static_quant"] is True
+
+    wave = (rng.standard_normal(16000) * 1000).astype(np.float32)
+    got, _ = run_capi(capi, qdir, wave)
+
+    feats = feats_from_waves(qdir, [wave])[0]
+    np_rt = GraphRuntime(qdir)
+    want, _ = np_rt.forward(feats)
+    n = min(len(got), len(want))
+    assert n > 20
+    # tiny frontend float differences can flip an activation's int8
+    # bin; a one-bin flip moves the posterior by O(scale * |w|)
+    np.testing.assert_allclose(got[:n], want[:n], atol=2e-2, rtol=1e-2)
+    flips = np.abs(got[:n] - want[:n]) > 2e-3
+    assert flips.mean() < 0.05  # bit-exact for >95% of entries
+
+    f32, _ = run_capi(capi, out_dir, wave)
+    assert np.abs(f32[:n] - got[:n]).max() < 0.05
+
+
+def test_stream_kws_main_stdin_pcm(capi, tmp_path, rng):
+    """The live-streaming driver's stdin path: raw S16_LE PCM piped in
+    must produce the same per-frame posterior stream as the offline
+    driver on the equivalent wav."""
+    _, _, _, out_dir = export_tiny_model(tmp_path)
+    wave_f = rng.standard_normal(16000).astype(np.float32) * 0.05
+    pcm = (wave_f * 32768.0).astype(np.int16).tobytes()
+    exe = os.path.join(BUILD_DIR, "stream_kws_main")
+    result = subprocess.run(
+        [exe, out_dir, "16"], input=pcm, capture_output=True, check=True,
+    )
+    lines = [
+        l for l in result.stdout.decode().splitlines()
+        if l.startswith("frame")
+    ]
+    assert len(lines) == 98
+    assert all(len(l.split()) == 2 + 3 for l in lines)
+
+
+def test_stream_kws_main_mic_unavailable(capi, tmp_path, rng):
+    """--mic on a machine without libasound must fail cleanly (message
+    + drained pipeline), not hang or crash."""
+    _, _, _, out_dir = export_tiny_model(tmp_path)
+    exe = os.path.join(BUILD_DIR, "stream_kws_main")
+    result = subprocess.run(
+        [exe, "--mic", out_dir], capture_output=True, text=True,
+        timeout=30,
+    )
+    assert result.returncode == 0
+    has_alsa = os.path.exists("/usr/lib/x86_64-linux-gnu/libasound.so.2")
+    if not has_alsa:
+        assert "not available" in result.stderr or "cannot open" \
+            in result.stderr

@@ -26,6 +26,18 @@ def _act(x: np.ndarray, act: str) -> np.ndarray:
     return x
 
 
+def _quantize_shifted(x: np.ndarray, scale: float, zp: int) -> np.ndarray:
+    """f32 -> zero-point-shifted int32: clamp(rint(x/s) + zp) - zp.
+
+    All arithmetic stays in float32 and rint rounds half-to-even,
+    matching the C++ runtime (float division + std::nearbyint under
+    the default FE_TONEAREST mode) so the two int8 paths agree."""
+    q = np.clip(
+        np.rint(x / np.float32(scale)) + np.int32(zp), -128, 127
+    ).astype(np.int32)
+    return q - np.int32(zp)
+
+
 class GraphRuntime:
     def __init__(self, model_dir: str):
         import os
@@ -44,16 +56,21 @@ class GraphRuntime:
         self.caches = self.artifact["caches"]
         self.meta = self.artifact["meta"]
 
+    def qtensor(self, ref: Dict):
+        """Raw (int8 weights, per-channel scales) for int8 execution."""
+        qr, sr = ref["int8"], ref["scale"]
+        size = int(np.prod(qr["shape"]))
+        q = self._int8[qr["offset"] : qr["offset"] + size].reshape(
+            qr["shape"]
+        )
+        scale = self._flat[
+            sr["offset"] : sr["offset"] + int(np.prod(sr["shape"]))
+        ].reshape(sr["shape"])
+        return q, scale
+
     def tensor(self, ref: Dict) -> np.ndarray:
         if "int8" in ref:  # quantized: dequantize per output channel
-            qr, sr = ref["int8"], ref["scale"]
-            size = int(np.prod(qr["shape"]))
-            q = self._int8[qr["offset"] : qr["offset"] + size].reshape(
-                qr["shape"]
-            )
-            scale = self._flat[
-                sr["offset"] : sr["offset"] + int(np.prod(sr["shape"]))
-            ].reshape(sr["shape"])
+            q, scale = self.qtensor(ref)
             return q.astype(np.float32) * scale
         size = int(np.prod(ref["shape"])) if ref["shape"] else 1
         return self._flat[ref["offset"] : ref["offset"] + size].reshape(
@@ -66,35 +83,74 @@ class GraphRuntime:
         ]
 
     def forward(
-        self, feats: np.ndarray, state: Optional[List[np.ndarray]] = None
+        self,
+        feats: np.ndarray,
+        state: Optional[List[np.ndarray]] = None,
+        observer=None,
     ) -> Tuple[np.ndarray, List[np.ndarray]]:
+        """``observer(buf_id, array)`` is called for the input buffer
+        and every produced buffer — the calibration hook
+        (export/calibrate.py)."""
         if state is None:
             state = self.init_state()
         state = list(state)
         bufs: Dict[int, np.ndarray] = {0: np.asarray(feats, np.float32)}
+        if observer is not None:
+            observer(0, bufs[0])
         for entry in self.ops:
             op = entry["op"]
             attrs = entry.get("attrs", {})
             x = bufs[entry["inputs"][0]]
+            int8_exec = "in_scale" in attrs and "int8" in entry.get("W", {})
             if op == "cmvn":
                 y = (x - self.tensor(entry["mean"])) * self.tensor(
                     entry["istd"]
                 )
             elif op == "dense":
-                y = x @ self.tensor(entry["W"])
+                if int8_exec:
+                    q, wsc = self.qtensor(entry["W"])
+                    s = float(attrs["in_scale"])
+                    xq = _quantize_shifted(x, s, int(attrs["in_zp"]))
+                    acc = xq @ q.astype(np.int32)
+                    y = acc.astype(np.float32) * (np.float32(s) * wsc)
+                else:
+                    y = x @ self.tensor(entry["W"])
                 if "b_" in entry:
                     y = y + self.tensor(entry["b_"])
                 y = _act(y, attrs.get("act", "none"))
             elif op in ("conv", "dw_conv"):
                 cid = attrs["cache"]
                 dilation = attrs["dilation"]
-                w = self.tensor(entry["W"])
-                k = w.shape[0]
+                if int8_exec:
+                    q, wsc = self.qtensor(entry["W"])
+                    k = q.shape[0]
+                else:
+                    w = self.tensor(entry["W"])
+                    k = w.shape[0]
                 pad = (k - 1) * dilation
                 ext = np.concatenate([state[cid], x], axis=0)
                 state[cid] = ext[len(ext) - pad :].copy() if pad else ext[:0]
                 t_out = len(ext) - pad
-                if op == "dw_conv":
+                if int8_exec:
+                    s = float(attrs["in_scale"])
+                    xq = _quantize_shifted(ext, s, int(attrs["in_zp"]))
+                    qi = q.astype(np.int32)
+                    if op == "dw_conv":
+                        acc = np.zeros((t_out, q.shape[1]), np.int32)
+                        for tap in range(k):
+                            acc += (
+                                xq[tap * dilation : tap * dilation + t_out]
+                                * qi[tap]
+                            )
+                    else:
+                        acc = np.zeros((t_out, q.shape[2]), np.int32)
+                        for tap in range(k):
+                            acc += (
+                                xq[tap * dilation : tap * dilation + t_out]
+                                @ qi[tap]
+                            )
+                    y = acc.astype(np.float32) * (np.float32(s) * wsc)
+                elif op == "dw_conv":
                     c = w.shape[1]
                     y = np.zeros((t_out, c), np.float32)
                     for tap in range(k):
@@ -129,6 +185,8 @@ class GraphRuntime:
             else:
                 raise ValueError(f"unknown op {op}")
             bufs[entry["out"]] = y
+            if observer is not None:
+                observer(entry["out"], y)
         return bufs[self.meta["output"]], state
 
     def _fsmn_block(self, entry, attrs, x, state):

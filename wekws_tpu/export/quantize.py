@@ -20,8 +20,34 @@ from wekws_tpu.export.graph import load_artifact
 _QUANT_KEYS = ("W", "Wl", "Wr", "Wih", "Whh")
 
 
-def quantize_artifact(model_dir: str, out_dir: str) -> dict:
+def quantize_artifact(
+    model_dir: str,
+    out_dir: str,
+    calib_feats=None,
+    percentile=None,
+) -> dict:
+    """Weight-only PTQ, or full static PTQ when ``calib_feats`` (an
+    iterable of (T, D) feature matrices) is given.
+
+    Static mode runs the float artifact over the calibration set with
+    range observers (export/calibrate.py — the analog of the
+    reference's torch.quantization.prepare + observer pass,
+    static_quantize.py:57-130), then stamps every dense/conv/dw_conv
+    with its input activation's (scale, zero_point).  Both runtimes
+    (np_runtime.py and the C++ graph_model.cc) execute those ops in
+    int8: activations quantize at the op boundary, the dot products
+    accumulate in int32, and the result dequantizes through
+    in_scale * weight_scale[channel].  fsmn_block/gru stay in float
+    compute with int8-stored weights (the reference's fbgemm static
+    path likewise only converts Conv/Linear modules)."""
     artifact, flat = load_artifact(model_dir)
+    qparams = None
+    if calib_feats is not None:
+        from wekws_tpu.export.calibrate import calibrate_activation_ranges
+
+        qparams = calibrate_activation_ranges(
+            model_dir, calib_feats, percentile
+        )
     new_f32: List[np.ndarray] = []
     new_i8: List[np.ndarray] = []
     f32_off = 0
@@ -64,8 +90,18 @@ def quantize_artifact(model_dir: str, out_dir: str) -> dict:
             elif isinstance(entry.get(key), dict) and "offset" in entry[key]:
                 # non-quantized weight (biases, cmvn, ...): re-pack
                 entry[key] = put_f32(take(entry[key]))
+        if (
+            qparams is not None
+            and entry["op"] in ("dense", "conv", "dw_conv")
+            and entry["inputs"][0] in qparams
+        ):
+            s, zp = qparams[entry["inputs"][0]]
+            attrs = entry.setdefault("attrs", {})
+            attrs["in_scale"] = float(s)
+            attrs["in_zp"] = int(zp)
 
     artifact["meta"]["quantized"] = True
+    artifact["meta"]["static_quant"] = qparams is not None
     os.makedirs(out_dir, exist_ok=True)
     f32 = (np.concatenate([a.reshape(-1) for a in new_f32])
            if new_f32 else np.zeros((0,), np.float32))
