@@ -36,7 +36,13 @@ def main():
 
     n_devices = len(jax.devices())
     mesh = make_mesh()
-    model = init_model(FLAGSHIP_MODEL_CONF)
+    model_conf = dict(FLAGSHIP_MODEL_CONF)
+    # Mixed precision is the TPU training default: bf16 conv compute,
+    # f32 params/BN-stats/loss (models/mdtc.py header).  Synthetic
+    # recipe converges identically to f32 (PERF.md round 2); override
+    # with BENCH_DTYPE=float32 to bench the pure-f32 path.
+    model_conf["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    model = init_model(model_conf)
     pipeline = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=True)
     cv_pipeline = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=False)
     trainer = Trainer(

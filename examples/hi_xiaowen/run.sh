@@ -4,7 +4,7 @@
 # Usage: ./run.sh <stage> <stop_stage>
 set -eo pipefail
 
-stage=${1:-0}
+stage=${1:--1}
 stop_stage=${2:-3}
 num_keywords=2
 config=conf/ds_tcn.yaml
@@ -13,6 +13,23 @@ num_average=30
 score_checkpoint=$dir/avg_${num_average}.ckpt
 download_dir=./data/local
 window_shift=50
+# mobvoi_hotword_dataset (openslr-87 mirror, same source as reference
+# examples/hi_xiaowen/s0/run.sh stage -1)
+data_url=https://www.openslr.org/resources/87
+
+if [ ${stage} -le -1 ] && [ ${stop_stage} -ge -1 ]; then
+  echo "Stage -1: download mobvoi_hotword_dataset"
+  mkdir -p $download_dir
+  if [ ! -f $download_dir/.extracted ]; then
+    for f in mobvoi_hotword_dataset.tgz mobvoi_hotword_dataset_resources.tgz; do
+      [ -f $download_dir/$f ] || \
+        wget -O $download_dir/$f $data_url/$f || \
+        curl -L -o $download_dir/$f $data_url/$f
+      tar -xzf $download_dir/$f -C $download_dir
+    done
+    touch $download_dir/.extracted
+  fi
+fi
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "Stage 0: prepare dict + datasets"

@@ -3,13 +3,29 @@
 # Usage: ./run.sh <stage> <stop_stage>
 set -eo pipefail
 
-stage=${1:-0}
+stage=${1:--1}
 stop_stage=${2:-3}
 config=conf/mdtc.yaml
 dir=exp/mdtc
 num_average=10
 score_checkpoint=$dir/avg_${num_average}.ckpt
 download_dir=./data/local
+# Speech Commands v1 archive (same source as the reference recipe,
+# /root/reference/examples/speechcommand_v1/s0/run.sh stage -1)
+data_url=http://download.tensorflow.org/data/speech_commands_v0.01.tar.gz
+
+if [ ${stage} -le -1 ] && [ ${stop_stage} -ge -1 ]; then
+  echo "Stage -1: download and extract Google Speech Commands v1"
+  mkdir -p $download_dir
+  archive=$download_dir/$(basename $data_url)
+  if [ ! -f $download_dir/.extracted ]; then
+    if [ ! -f $archive ]; then
+      wget -O $archive $data_url || curl -L -o $archive $data_url
+    fi
+    tar -xzf $archive -C $download_dir
+    touch $download_dir/.extracted
+  fi
+fi
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "Stage 0: prepare speech commands lists (12-class)"

@@ -283,3 +283,79 @@ def test_cmvn_tiled_for_context_expansion():
     variables = model.init(jax.random.PRNGKey(31), x)
     out, _ = model.apply(variables, x)
     assert out.shape == (1, 12, 3)
+
+
+class TestMixedPrecision:
+    """model config `dtype: bfloat16` — bf16 conv compute, f32 params,
+    f32 outputs (see models/mdtc.py header)."""
+
+    CONF = {
+        "input_dim": 40, "output_dim": 2, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "mdtc", "num_stack": 2, "stack_size": 2,
+                     "kernel_size": 5, "hidden_dim": 32, "causal": True},
+    }
+
+    def test_bf16_close_to_f32_and_f32_artifacts(self):
+        from wekws_tpu.models import init_model
+
+        conf = dict(self.CONF, dtype="bfloat16")
+        model = init_model(conf)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 50, 40))
+        v = model.init(jax.random.PRNGKey(1), x)
+        out, _ = model.apply(v, x)
+        assert out.dtype == jnp.float32
+        assert all(
+            leaf.dtype == jnp.float32
+            for leaf in jax.tree_util.tree_leaves(v["params"])
+        )
+        f32_model = init_model(self.CONF)
+        want, _ = f32_model.apply(v, x)  # same param tree
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=2e-2
+        )
+
+    def test_bf16_streaming_equivalence(self):
+        from wekws_tpu.models import init_model
+
+        conf = dict(self.CONF, dtype="bfloat16")
+        model = init_model(conf)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 40, 40))
+        v = model.init(jax.random.PRNGKey(3), x)
+        full, _ = model.apply(v, x)
+        cache = model.init_cache(2)
+        outs = []
+        for s in range(0, 40, 8):
+            y, cache = model.apply(v, x[:, s : s + 8], cache=cache)
+            outs.append(y)
+        streamed = jnp.concatenate(outs, axis=1)
+        np.testing.assert_allclose(
+            np.asarray(streamed), np.asarray(full), atol=2e-2
+        )
+
+    def test_bf16_train_step_finite(self):
+        import optax
+
+        from wekws_tpu.models import init_model
+
+        conf = dict(self.CONF, dtype="bfloat16")
+        model = init_model(conf)
+        x = jax.random.normal(jax.random.PRNGKey(4), (4, 30, 40))
+        v = model.init(jax.random.PRNGKey(5), x)
+
+        def loss_fn(params):
+            (out, _), upd = model.apply(
+                {"params": params,
+                 "batch_stats": v.get("batch_stats", {})},
+                x, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(6)},
+            )
+            return jnp.mean(out ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+        assert jnp.isfinite(loss)
+        assert jnp.isfinite(optax.global_norm(grads))
+        assert all(
+            g.dtype == jnp.float32
+            for g in jax.tree_util.tree_leaves(grads)
+        )

@@ -114,3 +114,93 @@ def test_fused_serving_rejects_unsupported():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 40))
     variables = model.init(jax.random.PRNGKey(1), x)
     assert build_fused_forward(model, variables) is None
+
+
+FSMN_CONF = dict(
+    input_affine_dim=24, fsmn_layers=3, linear_dim=40, proj_dim=16,
+    lorder=5, rorder=2, lstride=1, rstride=1, output_affine_dim=24,
+    output_dim=8,
+)
+
+
+@pytest.mark.parametrize("rorder,lstride", [(2, 1), (0, 1), (2, 2)])
+def test_fused_fsmn_matches_flax(rorder, lstride):
+    from wekws_tpu.models.fsmn import FSMN
+    from wekws_tpu.ops.fused_fsmn import fused_fsmn_forward
+
+    conf = dict(FSMN_CONF, rorder=rorder, lstride=lstride)
+    model = FSMN(**conf)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 30, 20))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    want, _ = model.apply(variables, x)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = fused_fsmn_forward(model, variables["params"], x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_fused_fsmn_stream_matches_full():
+    from wekws_tpu.models.fsmn import FSMN
+    from wekws_tpu.ops.fused_fsmn import fused_fsmn_forward
+
+    model = FSMN(**FSMN_CONF)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 20))
+    variables = model.init(jax.random.PRNGKey(3), x)
+    with pltpu.force_tpu_interpret_mode():
+        full, _ = fused_fsmn_forward(model, variables["params"], x)
+        cache = None
+        outs = []
+        for s in range(0, 32, 8):
+            y, cache = fused_fsmn_forward(
+                model, variables["params"], x[:, s : s + 8], cache
+            )
+            outs.append(y)
+    streamed = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(full), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_fused_serving_forward_matches_model_fsmn():
+    from wekws_tpu.models import init_model
+    from wekws_tpu.ops.serving import build_fused_forward, build_fused_stream
+
+    cfg = {
+        "input_dim": 20, "output_dim": 8, "hidden_dim": 40,
+        "preprocessing": {"type": "none"},
+        "backbone": {"type": "fsmn", "input_affine_dim": 24,
+                     "num_layers": 3, "linear_dim": 40, "proj_dim": 16,
+                     "left_order": 5, "right_order": 2, "left_stride": 1,
+                     "right_stride": 1, "output_affine_dim": 24},
+        "classifier": {"type": "identity", "dropout": 0.0},
+        "activation": {"type": "identity"},
+    }
+    model = init_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 20))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    lengths = jnp.asarray([32, 32])
+    want, _ = model.apply(variables, x, lengths=lengths)
+
+    fused = build_fused_forward(model, variables)
+    assert fused is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = fused(x, lengths)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
+
+    # streaming step chunks == full
+    built = build_fused_stream(model, variables)
+    assert built is not None
+    step, init_cache = built
+    with pltpu.force_tpu_interpret_mode():
+        cache = init_cache(2)
+        outs = []
+        for s in range(0, 32, 8):
+            y, cache = step(x[:, s : s + 8], cache)
+            outs.append(y)
+    streamed = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(want), atol=5e-4, rtol=1e-3
+    )

@@ -15,6 +15,9 @@ def main():
     parser.add_argument("--score_file", required=True)
     parser.add_argument("--step", type=float, default=0.001)
     parser.add_argument("--stats_dir", default=None)
+    parser.add_argument("--figure_file", default=None,
+                        help="write an overlaid DET plot (legend labels "
+                             "romanized via pypinyin when installed)")
     args = parser.parse_args()
 
     from wekws_tpu.eval.det_ctc import (
@@ -43,6 +46,11 @@ def main():
             stats_dir, "stats." + norm_kw.replace(" ", "_") + ".txt"
         )
         write_stats_file(results, stats_file)
+
+    if args.figure_file:
+        from wekws_tpu.eval.det_ctc import plot_det_curves
+
+        plot_det_curves(stats_dir, args.figure_file)
 
 
 if __name__ == "__main__":

@@ -100,3 +100,59 @@ def compute_det_ctc(
         results.append((threshold, fa_per_hour, frr))
         threshold += step
     return results
+
+
+def romanize(label: str) -> str:
+    """Legend label for DET plots: romanize CJK via pypinyin when the
+    package is available (reference compute_det_ctc.py:147), else keep
+    the raw label (matplotlib CJK font support varies)."""
+    try:
+        import pypinyin
+
+        return "".join(pypinyin.lazy_pinyin(label))
+    except ImportError:
+        return label
+
+
+def plot_det_curves(
+    stats_dir: str,
+    figure_file: str,
+    xlim: float = 5,
+    x_step: float = 1,
+    ylim: float = 35,
+    y_step: float = 5,
+) -> None:
+    """Overlay every ``stats.<keyword>.txt`` in ``stats_dir`` on one
+    DET figure — reference compute_det_ctc.py:138-160 semantics."""
+    import glob
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    plt.figure(dpi=200)
+    plt.rcParams["xtick.direction"] = "in"
+    plt.rcParams["ytick.direction"] = "in"
+    plt.rcParams["font.size"] = 12
+    for path in sorted(glob.glob(os.path.join(stats_dir, "*stats*.txt"))):
+        label = romanize(os.path.basename(path).split(".")[1])
+        rows = []
+        with open(path, encoding="utf8") as f:
+            for line in f:
+                _thr, fa, frr = line.split()
+                rows.append((float(fa), float(frr) * 100.0))
+        values = np.asarray(list(reversed(rows)))
+        plt.plot(values[:, 0], values[:, 1], label=label)
+    plt.xlim([0, xlim])
+    plt.ylim([0, ylim])
+    plt.xticks(np.arange(0, xlim + x_step, x_step))
+    plt.yticks(np.arange(0, ylim + y_step, y_step))
+    plt.xlabel("False Alarm Per Hour")
+    plt.ylabel("False Rejection Rate (%)")
+    plt.grid(linestyle="--")
+    plt.legend(loc="best", fontsize=6)
+    plt.savefig(figure_file)
+    plt.close()

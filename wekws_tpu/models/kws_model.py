@@ -136,6 +136,13 @@ def init_model(configs: dict) -> KWSModel:
     else:
         raise ValueError(f"Unknown preprocessing type {prep_type}")
 
+    # Mixed precision: 'dtype: bfloat16' in the model config runs the
+    # backbone's convolutions in bf16 with f32 params and f32 BatchNorm
+    # statistics (see models/mdtc.py header).  Parameters, checkpoints,
+    # exports and the loss are f32 regardless.
+    dtype_name = configs.get("dtype")
+    compute_dtype = jnp.dtype(dtype_name) if dtype_name else None
+
     bconf = configs["backbone"]
     backbone_type = bconf["type"]
     if backbone_type == "gru":
@@ -147,6 +154,7 @@ def init_model(configs: dict) -> KWSModel:
             kernel_size=bconf.get("kernel_size", 8),
             dropout=bconf.get("dropout", 0.1),
             ds=bconf.get("ds", False),
+            dtype=compute_dtype,
         )
     elif backbone_type == "mdtc":
         hidden_dim = bconf["hidden_dim"]
@@ -157,6 +165,7 @@ def init_model(configs: dict) -> KWSModel:
             res_channels=hidden_dim,
             kernel_size=bconf["kernel_size"],
             causal=bconf["causal"],
+            dtype=compute_dtype,
         )
     elif backbone_type == "fsmn":
         backbone = FSMN(

@@ -17,12 +17,20 @@ Cache is a flat tuple over all blocks in network order:
 [preprocessor, stack0.block0, stack0.block1, ..., stackN.blockM].
 """
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from wekws_tpu.models.layers import DepthwiseConv1d
+
+# Mixed precision: convolution compute in ``dtype`` (bfloat16 on TPU)
+# with float32 parameters; BatchNorm keeps its flax default dtype=None,
+# which promotes the bf16 input against the f32 scale/bias back to f32
+# — batch statistics therefore accumulate in f32 (bf16's 8-bit
+# mantissa cannot sum ~1e5 elements), and each conv re-casts its
+# operands down.  The per-block pattern is
+# conv(bf16) -> BN(f32 stats) -> relu -> conv(bf16) -> ...
 
 
 class DSDilatedConv1d(nn.Module):
@@ -33,6 +41,7 @@ class DSDilatedConv1d(nn.Module):
     kernel_size: int
     dilation: int = 1
     left_pad: int = 0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -41,13 +50,15 @@ class DSDilatedConv1d(nn.Module):
             self.kernel_size,
             self.dilation,
             left_pad=self.left_pad,
+            dtype=self.dtype,
             name="dw_conv",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="bn",
         )(x)
-        x = nn.Conv(self.out_channels, (1,), padding="VALID", name="pw_conv")(x)
+        x = nn.Conv(self.out_channels, (1,), padding="VALID",
+                    dtype=self.dtype, name="pw_conv")(x)
         return x
 
 
@@ -56,6 +67,7 @@ class TCNBlock(nn.Module):
     res_channels: int
     kernel_size: int
     dilation: int
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def padding(self) -> int:
@@ -80,6 +92,7 @@ class TCNBlock(nn.Module):
             self.kernel_size,
             self.dilation,
             left_pad=self.padding if cache is None else 0,
+            dtype=self.dtype,
             name="conv1",
         )(y, train)
         y = nn.BatchNorm(
@@ -87,13 +100,14 @@ class TCNBlock(nn.Module):
             name="bn1",
         )(y)
         y = nn.relu(y)
-        y = nn.Conv(self.res_channels, (1,), padding="VALID", name="conv2")(y)
+        y = nn.Conv(self.res_channels, (1,), padding="VALID",
+                    dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="bn2",
         )(y)
         if self.in_channels == self.res_channels:
-            y = y + x
+            y = y + x.astype(y.dtype)
         return nn.relu(y), new_cache
 
 
@@ -104,6 +118,7 @@ class MDTC(nn.Module):
     res_channels: int
     kernel_size: int
     causal: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         assert self.kernel_size % 2 == 1
@@ -146,7 +161,7 @@ class MDTC(nn.Module):
         new_caches = []
         y, c = TCNBlock(
             self.in_channels, self.res_channels, self.kernel_size, 1,
-            name="preprocessor",
+            dtype=self.dtype, name="preprocessor",
         )(x, cache[0], train)
         y = nn.relu(y)
         new_caches.append(c)
@@ -159,10 +174,11 @@ class MDTC(nn.Module):
                     self.res_channels,
                     self.kernel_size,
                     2 ** i,
+                    dtype=self.dtype,
                     name=f"stack_{s}_block_{i}",
                 )(y, cache[idx], train)
                 new_caches.append(c)
                 idx += 1
             # multi-scale aggregation: sum each stack's output
             outputs = y if outputs is None else outputs + y
-        return outputs, tuple(new_caches)
+        return outputs.astype(jnp.float32), tuple(new_caches)

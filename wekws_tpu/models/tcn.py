@@ -23,7 +23,7 @@ activation — matching tcn.py:55-61):
               -> Dropout;  y + x
 """
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ class CnnBlock(nn.Module):
     kernel_size: int
     dilation: int
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None  # conv compute dtype (see mdtc.py)
 
     @property
     def padding(self) -> int:
@@ -57,6 +58,7 @@ class CnnBlock(nn.Module):
             (self.kernel_size,),
             kernel_dilation=(self.dilation,),
             padding=[(self.padding, 0)] if cache is None else "VALID",
+            dtype=self.dtype,
             name="conv",
         )(y)
         y = nn.BatchNorm(
@@ -65,7 +67,7 @@ class CnnBlock(nn.Module):
         )(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return y + x, new_cache
+        return y + x.astype(y.dtype), new_cache
 
 
 class DsCnnBlock(nn.Module):
@@ -75,6 +77,7 @@ class DsCnnBlock(nn.Module):
     kernel_size: int
     dilation: int
     dropout: float = 0.1
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def padding(self) -> int:
@@ -94,6 +97,7 @@ class DsCnnBlock(nn.Module):
             self.kernel_size,
             self.dilation,
             left_pad=self.padding if cache is None else 0,
+            dtype=self.dtype,
             name="dw_conv",
         )(y)
         y = nn.BatchNorm(
@@ -101,14 +105,15 @@ class DsCnnBlock(nn.Module):
             name="dw_bn",
         )(y)
         y = nn.relu(y)
-        y = nn.Conv(self.channel, (1,), padding="VALID", name="pw_conv")(y)
+        y = nn.Conv(self.channel, (1,), padding="VALID",
+                    dtype=self.dtype, name="pw_conv")(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name="pw_bn",
         )(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return y + x, new_cache
+        return y + x.astype(y.dtype), new_cache
 
 
 class TCN(nn.Module):
@@ -117,6 +122,7 @@ class TCN(nn.Module):
     kernel_size: int
     dropout: float = 0.1
     ds: bool = False
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def paddings(self) -> Sequence[int]:
@@ -150,8 +156,9 @@ class TCN(nn.Module):
                 self.kernel_size,
                 2 ** i,
                 self.dropout,
+                dtype=self.dtype,
                 name=f"block_{i}",
             )
             x, c = block(x, cache[i], train)
             new_caches.append(c)
-        return x, tuple(new_caches)
+        return x.astype(jnp.float32), tuple(new_caches)
