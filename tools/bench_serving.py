@@ -1,0 +1,93 @@
+"""Serving-latency benchmark: fused Pallas backbones vs the XLA path.
+
+Measures the steady-state per-chunk latency of the streaming step
+(the KeyWordSpotter hot loop) for the MDTC flagship and an FSMN
+config, at typical serving batch sizes.  Queued timing (N calls, one
+block) — see PERF.md round 2 on tunnel RTT.
+
+Usage: python tools/bench_serving.py [--chunk 8] [--iters 50]
+Prints one JSON line per (model, path, batch).
+"""
+
+import argparse
+import json
+import time
+
+
+def queued_ms(fn, args, iters):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--batches", type=int, nargs="+", default=[1, 16])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from wekws_tpu.models import init_model
+    from wekws_tpu.ops.serving import build_fused_stream
+
+    configs = {
+        "mdtc": {
+            "input_dim": 40, "output_dim": 1, "hidden_dim": 64,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "mdtc", "num_stack": 4, "stack_size": 4,
+                         "kernel_size": 5, "hidden_dim": 64,
+                         "causal": True},
+        },
+        "fsmn": {
+            "input_dim": 80, "output_dim": 8, "hidden_dim": 250,
+            "preprocessing": {"type": "none"},
+            "backbone": {"type": "fsmn", "input_affine_dim": 140,
+                         "num_layers": 4, "linear_dim": 250,
+                         "proj_dim": 128, "left_order": 10,
+                         "right_order": 2, "left_stride": 1,
+                         "right_stride": 1, "output_affine_dim": 140},
+            "classifier": {"type": "identity", "dropout": 0.0},
+            "activation": {"type": "identity"},
+        },
+    }
+    for name, cfg in configs.items():
+        model = init_model(cfg)
+        x0 = jax.random.normal(
+            jax.random.PRNGKey(0), (1, 20, cfg["input_dim"])
+        )
+        variables = model.init(jax.random.PRNGKey(1), x0)
+
+        built = build_fused_stream(model, variables)
+        assert built is not None, name
+        step, init_cache = built
+
+        @jax.jit
+        def xla_step(feats, cache, model=model, variables=variables):
+            return model.apply(variables, feats, cache=cache)
+
+        for b in args.batches:
+            feats = jax.random.normal(
+                jax.random.PRNGKey(2), (b, args.chunk, cfg["input_dim"])
+            )
+            fused_ms = queued_ms(step, (feats, init_cache(b)), args.iters)
+            flax_cache = model.init_cache(b)
+            xla_ms = queued_ms(xla_step, (feats, flax_cache), args.iters)
+            print(json.dumps({
+                "model": name, "batch": b, "chunk": args.chunk,
+                "fused_ms": round(fused_ms, 3),
+                "xla_ms": round(xla_ms, 3),
+                "speedup": round(xla_ms / fused_ms, 2),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
