@@ -167,3 +167,30 @@ def test_full_cli_flow(workspace):
         "--output_dir", str(quant_dir),
     )
     assert (quant_dir / "weights_int8.bin").exists()
+
+
+def test_train_cli_with_bucketed_batching(workspace):
+    """The train CLI runs with batch_conf.bucket_boundaries (the
+    multi-host lockstep shape policy) on a single process — scheduled
+    shapes, duplicate fill, valid-masked criterion all engaged."""
+    conf = yaml.safe_load((workspace / "config.yaml").read_text())
+    conf["dataset_conf"]["batch_conf"] = {
+        "batch_size": 8,
+        "bucket_boundaries": [8000, 16000],
+    }
+    conf["training_config"]["max_epoch"] = 1
+    bucket_cfg = workspace / "config_bucket.yaml"
+    bucket_cfg.write_text(yaml.dump(conf))
+    model_dir = workspace / "exp_bucket"
+    run_cli(
+        "wekws_tpu.bin.train",
+        "--config", str(bucket_cfg),
+        "--train_data", str(workspace / "train_int.list"),
+        "--cv_data", str(workspace / "dev_int.list"),
+        "--model_dir", str(model_dir),
+        "--num_keywords", "1",
+        "--min_duration", "5",
+    )
+    assert (model_dir / "0.ckpt").exists()
+    sidecar = yaml.safe_load((model_dir / "0.yaml").read_text())
+    assert np.isfinite(sidecar["cv_loss"])

@@ -267,3 +267,83 @@ class TestFusedSpotter:
         np.testing.assert_allclose(
             got[:, :n], want[:, :n], atol=5e-4, rtol=1e-3
         )
+
+
+@pytest.fixture
+def fsmn_spotter_setup(tmp_path):
+    """FSMN CTC artifacts for the fused spotter path."""
+    import yaml as _yaml
+
+    from wekws_tpu.models import init_model
+    from wekws_tpu.train import save_checkpoint
+
+    configs = {
+        "dataset_conf": {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 1.0},
+        },
+        "model": {
+            "input_dim": 23, "output_dim": 4, "hidden_dim": 32,
+            "preprocessing": {"type": "none"},
+            "backbone": {"type": "fsmn", "input_affine_dim": 24,
+                         "num_layers": 2, "linear_dim": 32,
+                         "proj_dim": 16, "left_order": 4,
+                         "right_order": 1, "left_stride": 1,
+                         "right_stride": 1, "output_affine_dim": 24},
+            "classifier": {"type": "identity", "dropout": 0.0},
+            "activation": {"type": "identity"},
+        },
+    }
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(_yaml.dump(configs))
+    model = init_model(configs["model"])
+    feats0 = np.zeros((1, 10, 23), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats0)
+    ckpt = tmp_path / "final.ckpt"
+    save_checkpoint(
+        str(ckpt), variables["params"], variables.get("batch_stats", {})
+    )
+    tokens = tmp_path / "tokens.txt"
+    tokens.write_text("<blk> 0\nh 1\ni 2\nx 3\n")
+    return str(ckpt), str(config_path), str(tokens)
+
+
+class TestFusedSpotterFSMN:
+    def test_fused_fsmn_posteriors_match_standard(
+        self, fsmn_spotter_setup, rng
+    ):
+        """The fused serving path now covers FSMN (second-most-served
+        backbone): use_fused spotter == flax spotter."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        ckpt, config, tokens = fsmn_spotter_setup
+        std = KeyWordSpotter(ckpt, config, tokens, None, threshold=0.5)
+        fused = KeyWordSpotter(
+            ckpt, config, tokens, None, threshold=0.5, use_fused=True
+        )
+        assert fused._fused_init_cache is not None
+        pcm = (rng.standard_normal(16000) * 1000).astype("<i2").tobytes()
+
+        def run(spotter):
+            spotter.reset_all()
+            probs = []
+            orig = spotter._apply_jit
+
+            def capture(feats, cache):
+                out, c = orig(feats, cache)
+                probs.append(np.asarray(out))
+                return out, c
+
+            spotter._apply_jit = capture
+            for off in range(0, len(pcm), 9600):
+                spotter.forward(pcm[off : off + 9600])
+            return np.concatenate(probs, axis=1)
+
+        with pltpu.force_tpu_interpret_mode():
+            got = run(fused)
+        want = run(std)
+        n = min(got.shape[1], want.shape[1])
+        np.testing.assert_allclose(
+            got[:, :n], want[:, :n], atol=5e-4, rtol=1e-3
+        )
