@@ -169,21 +169,43 @@ class TestDatasetBucketing:
                 if v > 0]
         assert len(set(keys)) == 20
 
-    def test_ordered_worker_merge_matches_inline(self, corpus):
-        ds0 = init_dataset(corpus, BASE_CONF, split="train",
-                           rank=0, world_size=1)
-        ds0.set_epoch(1)
-        inline = [b["waves"].shape for b in ds0]
+    def test_ordered_worker_merge_lockstep_across_ranks(self, corpus):
+        """With loader workers, the rank-level shape sequence is the
+        round-robin interleave of per-worker schedules — identical on
+        every rank running the same num_workers (the lockstep
+        contract).  A GLOBAL schedule sliced [w::W] would instead
+        strand samples in workers owning no slot for their bucket."""
+        seqs = []
+        for rank in range(2):
+            ds = init_dataset(corpus, BASE_CONF, split="train",
+                              rank=rank, world_size=2)
+            loader = DataLoader(ds, num_workers=2)
+            loader.set_epoch(1)
+            try:
+                seqs.append([b["waves"].shape for b in loader])
+            finally:
+                loader.close()
+        assert seqs[0] == seqs[1]
+        assert len(seqs[0]) > 0
 
-        ds = init_dataset(corpus, BASE_CONF, split="train",
+    def test_worker_sharded_cv_exact_coverage(self, corpus):
+        """Every cv utterance reaches a slot in its own worker (the
+        round-1 global-schedule slicing could strand samples whose
+        bucket had no slot in their worker)."""
+        ds = init_dataset(corpus, BASE_CONF, split="cv",
                           rank=0, world_size=1)
         loader = DataLoader(ds, num_workers=2)
-        loader.set_epoch(1)
+        loader.set_epoch(0)
         try:
-            workers = [b["waves"].shape for b in loader]
+            keys = [
+                k
+                for b in loader
+                for k, v in zip(b["keys"], b["valid"])
+                if v > 0
+            ]
         finally:
             loader.close()
-        assert workers == inline
+        assert sorted(keys) == sorted(f"u{i}" for i in range(20))
 
 
 def test_masked_train_criterion_ignores_fill_rows():

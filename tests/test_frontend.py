@@ -228,3 +228,24 @@ class TestJaxParity:
         np.testing.assert_allclose(
             np.asarray(single[0]), np.asarray(batched[0]), atol=1e-4, rtol=1e-5
         )
+
+
+class TestWaveDither:
+    def test_wave_dither_bounded_and_stochastic(self, rng):
+        """dither_mode='wave': noise applied to the waveform keeps the
+        frontend a single strided conv (no frames buffer); output is
+        stochastic but close to the clean features."""
+        import dataclasses
+
+        cfg = FrontendConfig(dither=1.0, dither_mode="wave")
+        fe = FeatureExtractor(cfg)
+        waves = jnp.asarray(make_wave(rng, 8000)[None, :])
+        lens = jnp.asarray([8000])
+        f1, _ = fe(waves, lens, rng=jax.random.PRNGKey(0))
+        f2, _ = fe(waves, lens, rng=jax.random.PRNGKey(1))
+        clean_cfg = dataclasses.replace(cfg, dither=0.0)
+        f0, _ = FeatureExtractor(clean_cfg)(waves, lens)
+        assert not np.allclose(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(
+            np.asarray(f1), np.asarray(f0), atol=0.5
+        )

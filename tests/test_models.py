@@ -359,3 +359,43 @@ class TestMixedPrecision:
             g.dtype == jnp.float32
             for g in jax.tree_util.tree_leaves(grads)
         )
+
+    def test_bf16_fsmn(self):
+        """dtype: bfloat16 applies to the FSMN backbone too (review
+        finding: it was silently ignored for fsmn/gru)."""
+        from wekws_tpu.models import init_model
+
+        conf = {
+            "input_dim": 20, "output_dim": 8, "hidden_dim": 40,
+            "preprocessing": {"type": "none"},
+            "backbone": {"type": "fsmn", "input_affine_dim": 24,
+                         "num_layers": 2, "linear_dim": 40,
+                         "proj_dim": 16, "left_order": 4,
+                         "right_order": 1, "left_stride": 1,
+                         "right_stride": 1, "output_affine_dim": 24},
+            "classifier": {"type": "identity", "dropout": 0.0},
+            "activation": {"type": "identity"},
+            "dtype": "bfloat16",
+        }
+        model = init_model(conf)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 30, 20))
+        v = model.init(jax.random.PRNGKey(1), x)
+        out, _ = model.apply(v, x)
+        assert out.dtype == jnp.float32
+        f32_conf = {k: val for k, val in conf.items() if k != "dtype"}
+        want, _ = init_model(f32_conf).apply(v, x)
+        # raw logits ~ +-7; bf16 through the whole chain (no f32 BN
+        # re-anchoring like MDTC) drifts ~1% relative
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=0.12
+        )
+        # streaming equivalence preserved under bf16
+        cache = model.init_cache(2)
+        outs = []
+        for s in range(0, 30, 10):
+            y, cache = model.apply(v, x[:, s : s + 10], cache=cache)
+            outs.append(y)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(outs, axis=1)),
+            np.asarray(out), atol=5e-2,
+        )

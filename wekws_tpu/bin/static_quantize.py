@@ -38,6 +38,7 @@ def main():
         from wekws_tpu.export.calibrate import feats_from_waves
 
         waves = []
+        failed = 0
         with open(args.calib_data, encoding="utf8") as f:
             for line in f:
                 if len(waves) >= args.num_calib:
@@ -45,9 +46,19 @@ def main():
                 obj = json.loads(line)
                 try:
                     wave, _sr = read_wav(obj["wav"])
-                except Exception:
+                except Exception as e:
+                    failed += 1
+                    if failed <= 5:
+                        print(f"warning: cannot read {obj.get('wav')}: {e}")
                     continue
                 waves.append(wave * 32768.0)
+        if failed:
+            print(f"warning: {failed} calibration wavs unreadable")
+        if not waves:
+            raise SystemExit(
+                f"no readable calibration audio in {args.calib_data} "
+                f"({failed} failures) — check the wav paths"
+            )
         calib_feats = feats_from_waves(args.model_dir, waves)
         print(f"calibrated over {len(calib_feats)} utterances")
 

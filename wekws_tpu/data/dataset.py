@@ -126,6 +126,34 @@ class Dataset:
         # round-robin, not in arrival order
         self.ordered = bool(self.bucket_boundaries)
         self._bucket_weights_cache = None
+        self._bucket_samples_cache = None
+
+    def _bucket_samples(self) -> List[Optional[int]]:
+        """Per-line sample counts from the ``duration`` fields, parsed
+        ONCE (durations never change across epochs — re-parsing the
+        whole list every epoch per worker is O(N * epochs * workers)
+        wasted host time).  None entries mark missing durations."""
+        if self._bucket_samples_cache is None:
+            import json as _json
+
+            sr = self.conf.get("resample_conf", {}).get(
+                "resample_rate", 16000
+            )
+            out: List[Optional[int]] = []
+            for line in self.data_list.lines:
+                try:
+                    d = _json.loads(line).get("duration")
+                except Exception:
+                    d = None
+                out.append(None if d is None else int(float(d) * sr))
+            self._bucket_samples_cache = out
+        return self._bucket_samples_cache
+
+    def _bucket_of(self, n: int) -> int:
+        for j, bound in enumerate(self.bucket_boundaries):
+            if n <= bound:
+                return j
+        return -1  # dropped upstream
 
     def bucket_weights(self) -> List[float]:
         """Per-bucket sample-count weights from the ``duration`` fields
@@ -134,24 +162,15 @@ class Dataset:
         still guarantees lockstep, just with more fill rows."""
         if self._bucket_weights_cache is not None:
             return self._bucket_weights_cache
-        import json as _json
-
-        sr = self.conf.get("resample_conf", {}).get("resample_rate", 16000)
         counts = [0] * len(self.bucket_boundaries)
         n_dur = 0
-        for line in self.data_list.lines:
-            try:
-                d = _json.loads(line).get("duration")
-            except Exception:
-                d = None
-            if d is None:
+        for samples in self._bucket_samples():
+            if samples is None:
                 continue
             n_dur += 1
-            samples = int(float(d) * sr)
-            for j, bound in enumerate(self.bucket_boundaries):
-                if samples <= bound:
-                    counts[j] += 1
-                    break
+            j = self._bucket_of(samples)
+            if j >= 0:
+                counts[j] += 1
         if n_dur < max(1, len(self.data_list.lines) // 2) or not sum(counts):
             weights = [1.0] * len(self.bucket_boundaries)
         else:
@@ -159,86 +178,92 @@ class Dataset:
         self._bucket_weights_cache = weights
         return weights
 
-    def _planned_bucket_counts(self, epoch: int) -> Optional[List[List[int]]]:
-        """Per-rank per-bucket sample counts, reconstructed exactly by
-        EVERY process from shared inputs (global list + durations +
-        epoch seed): the shard assignment is a deterministic function
-        of Random(epoch).shuffle over the full index list, so each
-        process can simulate all ranks' shards.  Returns None when
-        durations are missing (fallback schedules apply)."""
-        import json as _json
-
-        lines = self.data_list.lines
-        sr = self.conf.get("resample_conf", {}).get("resample_rate", 16000)
-        durs = []
-        for line in lines:
-            try:
-                d = _json.loads(line).get("duration")
-            except Exception:
-                d = None
-            if d is None:
-                return None
-            durs.append(int(float(d) * sr))
+    def _planned_bucket_counts(
+        self, epoch: int, num_workers: int = 1
+    ) -> Optional[List[List[List[int]]]]:
+        """``counts[rank][worker][bucket]`` sample counts, reconstructed
+        exactly by EVERY process from shared inputs (global list +
+        durations + epoch seed): shard/worker assignment is a
+        deterministic function of Random(epoch).shuffle over the full
+        index list, so each process can simulate all ranks' and
+        workers' shards.  Returns None when any duration is missing
+        (fallback schedules apply)."""
+        durs = self._bucket_samples()
+        if any(d is None for d in durs):
+            return None
         nb = len(self.bucket_boundaries)
-
-        def bucket_of(n: int) -> int:
-            for j, bound in enumerate(self.bucket_boundaries):
-                if n <= bound:
-                    return j
-            return -1  # dropped upstream
-
         dl = self.data_list
-        idx = list(range(len(lines)))
+        idx = list(range(len(durs)))
         if dl.shuffle:
             random.Random(epoch).shuffle(idx)
         world = dl.world_size if dl.partition else 1
         if dl.partition and world > 1 and len(idx) % world:
             idx = idx + idx[: world - len(idx) % world]
-        counts = [[0] * nb for _ in range(world)]
+        counts = [
+            [[0] * nb for _ in range(num_workers)] for _ in range(world)
+        ]
         for r in range(world):
             shard = idx[r::world] if dl.partition else idx
-            for i in shard:
-                j = bucket_of(durs[i])
-                if j >= 0:
-                    counts[r][j] += 1
+            for w in range(num_workers):
+                for i in shard[w::num_workers]:
+                    j = self._bucket_of(durs[i])
+                    if j >= 0:
+                        counts[r][w][j] += 1
         return counts
 
-    def make_bucket_schedule(self, epoch: int) -> List[int]:
-        """The global bucket-index schedule for ``epoch`` — every
-        process (and every loader worker, via its slot slice) computes
-        the identical list from shared inputs only: seed, epoch, global
-        list length, durations, config.
+    def make_bucket_schedule(
+        self, epoch: int, worker_id: int = 0, num_workers: int = 1
+    ) -> List[int]:
+        """The bucket-index schedule of loader worker ``worker_id`` for
+        ``epoch`` — every process computes the identical list from
+        shared inputs only: seed, epoch, global list length, durations,
+        config.  (All ranks must run the same ``num_workers``; the
+        rank-level shape sequence is the round-robin interleave of the
+        worker schedules.)
 
-        With durations present the schedule allocates, per bucket, the
-        max over ranks of the batches that rank needs — every sample is
-        guaranteed a slot (exact cv accounting), ranks with fewer
-        samples in a bucket emit fill rows.  Train order is shuffled;
-        cv runs buckets back-to-back (maximum queue locality).  Without
-        durations: train falls back to weighted random draws, cv to
-        all-cap batches (always exact)."""
+        With durations present the schedule allocates, per (worker,
+        bucket), the max over ranks of the batches that rank's worker
+        needs — every sample is guaranteed a slot IN ITS OWN WORKER
+        (exact cv accounting even under worker sharding; slot ownership
+        must match sample ownership, a global schedule sliced
+        ``[w::W]`` would strand samples in workers that own no slot for
+        their bucket).  Train order is shuffled; cv runs buckets
+        back-to-back.  Without durations: train falls back to weighted
+        random draws sliced per worker (duplicate fill absorbs the
+        mismatch), cv to all-cap batches sized by the worker's own
+        shard (always exact)."""
         bc = self.conf.get("batch_conf", {})
         batch_size = bc.get("batch_size", 16)
         nb = len(self.bucket_boundaries)
-        counts = self._planned_bucket_counts(epoch)
+        counts = self._planned_bucket_counts(epoch, num_workers)
         if counts is not None:
             per_bucket = [
-                max((c[j] + batch_size - 1) // batch_size for c in counts)
+                max(
+                    (c[worker_id][j] + batch_size - 1) // batch_size
+                    for c in counts
+                )
                 for j in range(nb)
             ]
             schedule = [
                 j for j in range(nb) for _ in range(per_bucket[j])
             ]
             if self.split == "train":
-                random.Random(self.seed * 1000003 + epoch).shuffle(schedule)
+                random.Random(
+                    self.seed * 1000003 + epoch * 1009 + worker_id
+                ).shuffle(schedule)
             return schedule or [nb - 1]
         shard = self.data_list.shard_size()
-        n_batches = max((shard + batch_size - 1) // batch_size, 1)
         if self.split != "train":
-            return [nb - 1] * n_batches
+            # worker w owns len(range(w, shard, W)) samples — identical
+            # on every rank since shard sizes are equalized
+            own = len(range(worker_id, shard, num_workers))
+            return [nb - 1] * max((own + batch_size - 1) // batch_size, 1)
+        n_batches = max((shard + batch_size - 1) // batch_size, 1)
         rnd = random.Random(self.seed * 1000003 + epoch)
-        return rnd.choices(
+        draws = rnd.choices(
             range(nb), weights=self.bucket_weights(), k=n_batches
         )
+        return draws[worker_id::num_workers]
 
     def set_epoch(self, epoch: int) -> None:
         self.data_list.set_epoch(epoch)
@@ -270,12 +295,11 @@ class Dataset:
             )
         bc = conf.get("batch_conf", {})
         if self.bucket_boundaries:
-            schedule = self.make_bucket_schedule(self.data_list.epoch)
             dl = self.data_list
-            if dl.num_workers > 1:
-                # worker w owns schedule slots w, w+W, ... — the loader
-                # reassembles global order by round-robin merge
-                schedule = schedule[dl.worker_id :: dl.num_workers]
+            # per-worker schedule (round-robin merged by the loader)
+            schedule = self.make_bucket_schedule(
+                dl.epoch, dl.worker_id, max(dl.num_workers, 1)
+            )
             fixed_label_len = bc.get("max_label_len", 0)
             if not fixed_label_len and self.tokenizer is not None:
                 fixed_label_len = conf.get("filter_conf", {}).get(

@@ -9,6 +9,17 @@ through a queue.  Workers are spawned once and reused across epochs
 libraries); an epoch-command channel drives them.  Workers use the
 'spawn' context so they never inherit live TPU runtime state;
 ``num_workers=0`` degrades to the in-process thread prefetcher.
+
+Two consumption modes, selected by the dataset's ``ordered`` flag:
+
+* unordered (default): one shared bounded queue, batches yielded in
+  arrival order — maximum throughput.
+* ordered (bucket-scheduled datasets): each worker owns its own
+  bounded queue and the parent reads them round-robin, so the emitted
+  order IS the interleave of the per-worker schedules (the multi-host
+  lockstep contract) AND a stalled worker back-pressures only itself —
+  the fast workers block on their own full queues instead of ballooning
+  parent memory.
 """
 
 import multiprocessing as mp
@@ -28,16 +39,15 @@ def _worker_main(dataset, worker_id, num_workers, cmd_queue, out_queue):
         try:
             dataset.set_epoch(epoch)
             for batch in dataset:
-                out_queue.put((worker_id, batch))
+                out_queue.put(batch)
         finally:
-            out_queue.put((worker_id, _DONE))
+            out_queue.put(_DONE)
 
 
 class DataLoader:
     """Iterate a Dataset with worker-process parallelism.
 
-    Batches from different workers interleave in arrival order; the
-    per-worker shard split reproduces the reference's two-level
+    The per-worker shard split reproduces the reference's two-level
     rank/worker slicing, so the union over workers is exactly the rank
     shard.  NOTE: like torch's worker sharding, each worker drops its
     own remainder batch when drop_last is set."""
@@ -46,10 +56,11 @@ class DataLoader:
         self.dataset = dataset
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.ordered = bool(getattr(dataset, "ordered", False))
         self._epoch = 0
         self._procs: Optional[list] = None
         self._cmd_queues = None
-        self._out_queue = None
+        self._out_queues = None
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -59,16 +70,25 @@ class DataLoader:
         if self._procs is not None:
             return
         ctx = mp.get_context("spawn")
-        self._out_queue = ctx.Queue(
-            maxsize=max(self.prefetch, self.num_workers)
-        )
+        if self.ordered:
+            # per-worker bounded queues: round-robin read order +
+            # per-worker backpressure
+            self._out_queues = [
+                ctx.Queue(maxsize=max(self.prefetch, 2))
+                for _ in range(self.num_workers)
+            ]
+        else:
+            shared = ctx.Queue(
+                maxsize=max(self.prefetch, self.num_workers)
+            )
+            self._out_queues = [shared] * self.num_workers
         self._cmd_queues = [ctx.Queue() for _ in range(self.num_workers)]
         self._procs = []
         for w in range(self.num_workers):
             p = ctx.Process(
                 target=_worker_main,
                 args=(self.dataset, w, self.num_workers,
-                      self._cmd_queues[w], self._out_queue),
+                      self._cmd_queues[w], self._out_queues[w]),
                 daemon=True,
             )
             p.start()
@@ -91,6 +111,20 @@ class DataLoader:
         except Exception:
             pass
 
+    def _drain(self, done):
+        """Consume until every worker has sent _DONE (abandoned epoch:
+        workers must finish so the loader stays reusable)."""
+        if self.ordered:
+            for w in range(self.num_workers):
+                while not done[w]:
+                    if self._out_queues[w].get() == _DONE:
+                        done[w] = True
+        else:
+            remaining = done.count(False)
+            while remaining:
+                if self._out_queues[0].get() == _DONE:
+                    remaining -= 1
+
     def __iter__(self) -> Iterator:
         if self.num_workers <= 0:
             yield from Prefetcher(self.dataset, self.prefetch)
@@ -98,41 +132,26 @@ class DataLoader:
         self._ensure_workers()
         for q in self._cmd_queues:
             q.put(self._epoch)
-        finished = 0
-        ordered = bool(getattr(self.dataset, "ordered", False))
-        buffers = [[] for _ in range(self.num_workers)]
-        next_w = 0
+        done = [False] * self.num_workers
         try:
-            if not ordered:
-                while finished < self.num_workers:
-                    w, item = self._out_queue.get()
+            if not self.ordered:
+                remaining = self.num_workers
+                while remaining:
+                    item = self._out_queues[0].get()
                     if isinstance(item, str) and item == _DONE:
-                        finished += 1
+                        remaining -= 1
+                        done[done.index(False)] = True
                     else:
                         yield item
                 return
-            # ordered (bucket-scheduled) mode: worker w produced the
-            # schedule slots w, w+W, ...; re-interleave round-robin so
-            # the emitted order IS the global schedule — required for
-            # multi-host lockstep shapes
-            done = [False] * self.num_workers
-            while True:
-                while not buffers[next_w] and not done[next_w]:
-                    w, item = self._out_queue.get()
+            next_w = 0
+            while not all(done):
+                if not done[next_w]:
+                    item = self._out_queues[next_w].get()
                     if isinstance(item, str) and item == _DONE:
-                        finished += 1
-                        done[w] = True
+                        done[next_w] = True
                     else:
-                        buffers[w].append(item)
-                if buffers[next_w]:
-                    yield buffers[next_w].pop(0)
-                elif all(done) and not any(buffers):
-                    return
+                        yield item
                 next_w = (next_w + 1) % self.num_workers
         finally:
-            # abandoned mid-epoch: drain so workers can finish and the
-            # loader stays reusable
-            while finished < self.num_workers:
-                w, item = self._out_queue.get()
-                if isinstance(item, str) and item == _DONE:
-                    finished += 1
+            self._drain(done)

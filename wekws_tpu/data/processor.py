@@ -323,8 +323,11 @@ def bucket_batch(
         while (
             not exhausted
             and len(queues[b]) < batch_size
-            and buffered() < buffer_cap
+            and (fill == "invalid" or buffered() < buffer_cap)
         ):
+            # fill='invalid' (cv/test): NEVER stop buffering — every
+            # sample must reach its scheduled slot (exact accounting);
+            # the planned schedule bounds the real high-water mark
             try:
                 s = next(it)
             except StopIteration:
@@ -333,10 +336,22 @@ def bucket_batch(
             j = bucket_of(len(s["wav"]))
             if j >= 0:
                 queues[j].append(s)
-        if len(queues[b]) < batch_size and buffered() >= buffer_cap:
+        if (
+            fill == "duplicate"
+            and len(queues[b]) < batch_size
+            and buffered() >= buffer_cap
+        ):
+            # train-mode pressure valve: trim the longest queue; the
+            # dropped samples reappear in a later epoch's shuffle
             longest = max(range(nb), key=lambda j: len(queues[j]))
             if longest != b and queues[longest]:
                 drop = len(queues[longest]) // 2
+                logging.warning(
+                    "bucket_batch: buffer cap %d hit while filling "
+                    "bucket %d; dropping %d buffered samples from "
+                    "bucket %d (rebalanced next epoch)",
+                    buffer_cap, b, drop, longest,
+                )
                 del queues[longest][:drop]
 
     for b in schedule:

@@ -111,8 +111,6 @@ class FeatureExtractor:
         if cfg.remove_dc_offset:
             analysis = analysis - np.mean(analysis, axis=0, keepdims=True)
         self._analysis = jnp.asarray(analysis, jnp.float32)
-        self._window = jnp.asarray(cfg.window(), jnp.float32)
-        self._dft = jnp.asarray(_dft_matrix(cfg.frame_length, n), jnp.float32)
         bank = mel_banks(
             cfg.num_mel_bins, n, cfg.sample_rate, cfg.low_freq, cfg.high_freq
         )
@@ -144,12 +142,15 @@ class FeatureExtractor:
         rng: Optional[jax.Array] = None,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
         cfg = self.cfg
-        frames = frame_waveform(
-            waves.astype(jnp.float32), cfg.frame_length, cfg.frame_shift
+        waves = waves.astype(jnp.float32)
+        frame_dither = (
+            cfg.dither != 0.0 and rng is not None
+            and cfg.dither_mode == "frame"
         )
-        if cfg.dither != 0.0 and rng is not None:
-            frames = frames + cfg.dither * jax.random.normal(
-                rng, frames.shape, jnp.float32
+        if cfg.dither != 0.0 and rng is not None \
+                and cfg.dither_mode == "wave":
+            waves = waves + cfg.dither * jax.random.normal(
+                rng, waves.shape, jnp.float32
             )
 
         # Frontend numerics are the training/runtime contract. HIGH
@@ -160,13 +161,21 @@ class FeatureExtractor:
         hi = jax.lax.Precision.HIGH
         # DC removal + preemphasis + window + DFT in one matmul (see
         # __init__: the chain is linear and folded into self._analysis).
+        # (A strided-conv-on-the-wave formulation was measured SLOWER
+        # than frames+matmul on v5e — XLA materializes the patches
+        # either way; PERF.md round 2.)
+        frames = frame_waveform(waves, cfg.frame_length, cfg.frame_shift)
+        if frame_dither:
+            frames = frames + cfg.dither * jax.random.normal(
+                rng, frames.shape, jnp.float32
+            )
         spec = jnp.matmul(
             frames,
             self._analysis,
             precision=hi,
             preferred_element_type=jnp.float32,
         )
-        nbin = self._dft.shape[1] // 2
+        nbin = self._analysis.shape[1] // 2
         power = spec[..., :nbin] ** 2 + spec[..., nbin:] ** 2
         if not cfg.use_power:
             power = jnp.sqrt(power)
@@ -205,5 +214,6 @@ def frontend_from_dataset_conf(conf: dict) -> FeatureExtractor:
         frame_length_ms=fc.get("frame_length", 25),
         frame_shift_ms=fc.get("frame_shift", 10),
         dither=fc.get("dither", 0.0),
+        dither_mode=fc.get("dither_mode", "frame"),
     )
     return FeatureExtractor(cfg)

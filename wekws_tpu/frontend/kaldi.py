@@ -138,6 +138,12 @@ class FrontendConfig:
     frame_length_ms: float = 25.0
     frame_shift_ms: float = 10.0
     dither: float = 0.0
+    # 'frame': iid noise per (frame, sample) — Kaldi/torchaudio exact
+    # semantics (overlapping frames get independent noise).  'wave':
+    # iid noise per waveform sample before framing — statistically
+    # equivalent augmentation that keeps the frontend a single strided
+    # convolution on device (no (B, T, frame_length) buffer; PERF.md).
+    dither_mode: str = "frame"
     low_freq: float = 20.0
     high_freq: float = 0.0
     preemphasis: float = 0.97
@@ -193,6 +199,12 @@ def _windowed_frames(
 ) -> np.ndarray:
     frames = _frames(wave, cfg)
     if cfg.dither != 0.0 and rng is not None:
+        if cfg.dither_mode == "wave":
+            # applied before framing in the device pipeline; replicate
+            # by dithering the wave and re-framing
+            raise NotImplementedError(
+                "oracle path: dither the waveform before calling"
+            )
         frames = frames + cfg.dither * rng.standard_normal(frames.shape)
     if cfg.remove_dc_offset:
         frames = frames - frames.mean(axis=1, keepdims=True)

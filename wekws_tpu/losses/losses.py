@@ -133,6 +133,21 @@ def criterion(
     the accuracy — the gradient is exactly the masked-batch gradient.
     """
     if valid is not None:
+        if loss_type == "ctc":
+            # masked CTC loss WITHOUT criterion_per_utt: its accuracy
+            # term is a greedy decode + Levenshtein scan, which belongs
+            # in the cv step, not the training hot path (train-time
+            # CTC acc is 0, as in the unmasked path / the reference's
+            # need_acc=False)
+            t, u = logits.shape[1], target.shape[1]
+            logit_pad = padding_mask(lengths, t).astype(jnp.float32)
+            label_pad = padding_mask(target_lengths, u).astype(jnp.float32)
+            loss_b = optax.ctc_loss(
+                logits, logit_pad, target.astype(jnp.int32), label_pad,
+                blank_id=0,
+            )
+            n = jnp.maximum(jnp.sum(valid), 1.0)
+            return jnp.sum(loss_b * valid) / n, jnp.asarray(0.0)
         loss_b, correct_b = criterion_per_utt(
             loss_type, logits, target, lengths, target_lengths,
             min_duration,

@@ -25,7 +25,7 @@ feature-last layout so XLA fuses them with the surrounding Dense
 matmuls; no Conv2d contortions needed on TPU.
 """
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -37,6 +37,7 @@ class FSMNBlock(nn.Module):
     rorder: int
     lstride: int = 1
     rstride: int = 1
+    dtype: Optional[jnp.dtype] = None  # compute dtype (see mdtc.py)
 
     @property
     def padding(self) -> int:
@@ -60,11 +61,12 @@ class FSMNBlock(nn.Module):
             feature_group_count=self.dim,
             padding="VALID",
             use_bias=False,
+            dtype=self.dtype,
             name="conv_left",
         )(left_in)  # (B, T, D)
         # identity path: input frames aligned with the (delayed) output
         start = (self.lorder - 1) * self.lstride
-        out = y[:, start : start + t, :] + y_left
+        out = y[:, start : start + t, :].astype(y_left.dtype) + y_left
 
         if self.rorder > 0:
             # lookahead taps start one rstride past the current frame
@@ -76,6 +78,7 @@ class FSMNBlock(nn.Module):
                 feature_group_count=self.dim,
                 padding="VALID",
                 use_bias=False,
+                dtype=self.dtype,
                 name="conv_right",
             )(right_in)  # (B, T, D)
             out = out + y_right
@@ -93,6 +96,7 @@ class FSMN(nn.Module):
     rstride: int
     output_affine_dim: int
     output_dim: int
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def layer_padding(self) -> int:
@@ -114,23 +118,30 @@ class FSMN(nn.Module):
     ) -> Tuple[jnp.ndarray, tuple]:
         if cache is None:
             cache = self.init_cache(x.shape[0], x.dtype)
-        x = nn.Dense(self.input_affine_dim, name="in_linear1")(x)
-        x = nn.Dense(self.linear_dim, name="in_linear2")(x)
+        x = nn.Dense(self.input_affine_dim, dtype=self.dtype,
+                     name="in_linear1")(x)
+        x = nn.Dense(self.linear_dim, dtype=self.dtype,
+                     name="in_linear2")(x)
         x = nn.relu(x)
         new_caches = []
         for i in range(self.fsmn_layers):
-            x = nn.Dense(self.proj_dim, use_bias=False, name=f"layer_{i}_proj")(x)
+            x = nn.Dense(self.proj_dim, use_bias=False, dtype=self.dtype,
+                         name=f"layer_{i}_proj")(x)
             x, c = FSMNBlock(
                 self.proj_dim,
                 self.lorder,
                 self.rorder,
                 self.lstride,
                 self.rstride,
+                dtype=self.dtype,
                 name=f"layer_{i}_fsmn",
             )(x, cache[i], train)
             new_caches.append(c)
-            x = nn.Dense(self.linear_dim, name=f"layer_{i}_affine")(x)
+            x = nn.Dense(self.linear_dim, dtype=self.dtype,
+                         name=f"layer_{i}_affine")(x)
             x = nn.relu(x)
-        x = nn.Dense(self.output_affine_dim, name="out_linear1")(x)
-        x = nn.Dense(self.output_dim, name="out_linear2")(x)
-        return x, tuple(new_caches)
+        x = nn.Dense(self.output_affine_dim, dtype=self.dtype,
+                     name="out_linear1")(x)
+        x = nn.Dense(self.output_dim, dtype=self.dtype,
+                     name="out_linear2")(x)
+        return x.astype(jnp.float32), tuple(new_caches)

@@ -146,6 +146,14 @@ def init_model(configs: dict) -> KWSModel:
     bconf = configs["backbone"]
     backbone_type = bconf["type"]
     if backbone_type == "gru":
+        if compute_dtype is not None:
+            import logging
+
+            logging.warning(
+                "model.dtype=%s is not supported for the gru backbone "
+                "(sequential cell, f32 recurrence kept); training in "
+                "float32", dtype_name,
+            )
         backbone = GRU(hidden_dim, bconf["num_layers"])
     elif backbone_type == "tcn":
         backbone = TCN(
@@ -179,6 +187,7 @@ def init_model(configs: dict) -> KWSModel:
             rstride=bconf["right_stride"],
             output_affine_dim=bconf["output_affine_dim"],
             output_dim=output_dim,
+            dtype=compute_dtype,
         )
     else:
         raise ValueError(f"Unknown backbone type {backbone_type}")

@@ -107,7 +107,9 @@ class DepthwiseConv1d(nn.Module):
 # marginally faster (0.024 vs 0.026 ms fwd), but its backward lowers to
 # per-tap scatter-adds into the padded input buffer, which block XLA's
 # fusion of the surrounding BN/ReLU backward ops; the grouped form's
-# conv-transpose backward fuses cleanly.  The shifted form is kept for
-# VMEM-resident Pallas serving kernels (ops/fused_mdtc.py) where there is
-# no backward pass.
+# conv-transpose backward fuses cleanly.  ``depthwise_conv1d_shifted``
+# is retained (unused in the model path) as the documented measured
+# alternative for future lowering experiments; the Pallas serving
+# kernels (ops/fused_mdtc.py) implement the same shifted-FMA form
+# independently inside the kernel body.
 depthwise_conv1d = depthwise_conv1d_grouped

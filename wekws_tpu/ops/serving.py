@@ -138,20 +138,11 @@ def build_fused_forward(
 ) -> Optional[Callable]:
     """-> f(feats, lengths) -> posteriors, or None when the model
     shape isn't supported by the fused path."""
-    from wekws_tpu.models.classifier import (
-        ElementClassifier, IdentityClassifier, LinearClassifier,
-    )
-
     if isinstance(model.backbone, FSMN):
         return _build_fused_fsmn(model, variables, softmax, streaming=False)
     if not isinstance(model.backbone, MDTC):
         return None
     if not isinstance(model.preprocessing, LinearSubsampling1):
-        return None
-    clf = model.classifier
-    if not isinstance(
-        clf, (LinearClassifier, IdentityClassifier, ElementClassifier)
-    ):
         return None
 
     params = jax.device_get(variables["params"])
@@ -167,29 +158,10 @@ def build_fused_forward(
     prep_w = jnp.asarray(prep["kernel"])
     prep_b = jnp.asarray(prep["bias"])
 
-    if model.global_cmvn is not None:
-        cmvn_mean = jnp.asarray(model.global_cmvn.mean, jnp.float32)
-        cmvn_istd = (
-            jnp.asarray(model.global_cmvn.istd, jnp.float32)
-            if model.global_cmvn.norm_var
-            else jnp.ones_like(cmvn_mean)
-        )
-    else:
-        cmvn_mean = cmvn_istd = None
-
-    cp = params.get("classifier", {})
-    if isinstance(clf, LinearClassifier):
-        head_w = [(jnp.asarray(cp["linear"]["kernel"]),
-                   jnp.asarray(cp["linear"]["bias"]), "none")]
-    elif isinstance(clf, ElementClassifier):
-        head_w = [
-            (jnp.asarray(cp["mlp"]["fc1"]["kernel"]),
-             jnp.asarray(cp["mlp"]["fc1"]["bias"]), "relu"),
-            (jnp.asarray(cp["mlp"]["fc2"]["kernel"]),
-             jnp.asarray(cp["mlp"]["fc2"]["bias"]), "none"),
-        ]
-    else:
-        head_w = []
+    cmvn_mean, cmvn_istd = _cmvn_weights(model)
+    head_w = _head_weights(model.classifier, params)
+    if head_w is None:
+        return None
     sigmoid = model.activation == "sigmoid"
 
     @jax.jit
@@ -224,20 +196,11 @@ def build_fused_stream(
         init_cache_fn(batch) -> cache) or None when unsupported.
     The cache is the packed (L, B, pad_max, C) fused-kernel context,
     NOT the flax pytree cache."""
-    from wekws_tpu.models.classifier import (
-        ElementClassifier, IdentityClassifier, LinearClassifier,
-    )
-
     if isinstance(model.backbone, FSMN):
         return _build_fused_fsmn(model, variables, softmax, streaming=True)
     if not isinstance(model.backbone, MDTC):
         return None
     if not isinstance(model.preprocessing, LinearSubsampling1):
-        return None
-    clf = model.classifier
-    if not isinstance(
-        clf, (LinearClassifier, IdentityClassifier, ElementClassifier)
-    ):
         return None
 
     params = jax.device_get(variables["params"])
@@ -254,28 +217,10 @@ def build_fused_stream(
     prep = params["preprocessing"]["proj"]
     prep_w = jnp.asarray(prep["kernel"])
     prep_b = jnp.asarray(prep["bias"])
-    if model.global_cmvn is not None:
-        cmvn_mean = jnp.asarray(model.global_cmvn.mean, jnp.float32)
-        cmvn_istd = (
-            jnp.asarray(model.global_cmvn.istd, jnp.float32)
-            if model.global_cmvn.norm_var
-            else jnp.ones_like(cmvn_mean)
-        )
-    else:
-        cmvn_mean = cmvn_istd = None
-    cp = params.get("classifier", {})
-    if isinstance(clf, LinearClassifier):
-        head_w = [(jnp.asarray(cp["linear"]["kernel"]),
-                   jnp.asarray(cp["linear"]["bias"]), "none")]
-    elif isinstance(clf, ElementClassifier):
-        head_w = [
-            (jnp.asarray(cp["mlp"]["fc1"]["kernel"]),
-             jnp.asarray(cp["mlp"]["fc1"]["bias"]), "relu"),
-            (jnp.asarray(cp["mlp"]["fc2"]["kernel"]),
-             jnp.asarray(cp["mlp"]["fc2"]["bias"]), "none"),
-        ]
-    else:
-        head_w = []
+    cmvn_mean, cmvn_istd = _cmvn_weights(model)
+    head_w = _head_weights(model.classifier, params)
+    if head_w is None:
+        return None
     sigmoid = model.activation == "sigmoid"
 
     @jax.jit
