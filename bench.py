@@ -67,7 +67,7 @@ def main():
 
     state = trainer.init_state(jax.random.PRNGKey(0), batch, mesh)
     device_batch = shard_batch(batch, mesh)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl="rbg")  # see bin/train.py rationale
 
     # warmup / compile (two steps: the first call's output state carries
     # device-committed shardings, so call two triggers a second

@@ -204,3 +204,67 @@ def test_fused_serving_forward_matches_model_fsmn():
     np.testing.assert_allclose(
         np.asarray(streamed), np.asarray(want), atol=5e-4, rtol=1e-3
     )
+
+
+def test_fused_serving_forward_matches_model_ds_tcn():
+    """Fused DS-TCN (hey_snips flagship backbone) serving path: fused
+    forward and chunked streaming both match model.apply."""
+    from wekws_tpu.models import init_model
+    from wekws_tpu.ops.serving import build_fused_forward, build_fused_stream
+
+    cfg = {
+        "input_dim": 40, "output_dim": 2, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "tcn", "ds": True, "num_layers": 3,
+                     "kernel_size": 8, "dropout": 0.0},
+    }
+    model = init_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 40, 40))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    # perturb batch_stats so BN folding is really tested
+    stats = jax.tree_util.tree_map(
+        lambda a: a + 0.03 * jnp.arange(a.size, dtype=a.dtype)
+        .reshape(a.shape) / max(a.size, 1),
+        variables["batch_stats"],
+    )
+    variables = {"params": variables["params"], "batch_stats": stats}
+    lengths = jnp.asarray([40, 40])
+    want, _ = model.apply(variables, x, lengths=lengths)
+
+    fused = build_fused_forward(model, variables)
+    assert fused is not None
+    with pltpu.force_tpu_interpret_mode():
+        got = fused(x, lengths)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
+
+    built = build_fused_stream(model, variables)
+    assert built is not None
+    step, init_cache = built
+    with pltpu.force_tpu_interpret_mode():
+        cache = init_cache(2)
+        outs = []
+        for s in range(0, 40, 8):
+            y, cache = step(x[:, s : s + 8], cache)
+            outs.append(y)
+    streamed = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(want), atol=5e-4, rtol=1e-3
+    )
+
+
+def test_fused_serving_full_conv_tcn_falls_back():
+    from wekws_tpu.models import init_model
+    from wekws_tpu.ops.serving import build_fused_forward
+
+    cfg = {
+        "input_dim": 40, "output_dim": 2, "hidden_dim": 32,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "tcn", "ds": False, "num_layers": 2,
+                     "kernel_size": 4, "dropout": 0.0},
+    }
+    model = init_model(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 40))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    assert build_fused_forward(model, variables) is None

@@ -179,7 +179,11 @@ def main():
         )
 
     max_epoch = args.num_epochs or train_conf.get("max_epoch", 100)
-    rng = jax.random.PRNGKey(args.seed + 1)
+    # rbg keys: the per-step dither/spec_aug/dropout draws are ~40M
+    # samples at B=512; threefry spends ~1 ms/step generating them on
+    # v5e, rbg ~0.55 ms (PERF.md round 2).  Both are deterministic;
+    # rbg is the TPU-appropriate generator for augmentation noise.
+    rng = jax.random.key(args.seed + 1, impl="rbg")
     final_epoch = None
     for epoch in range(start_epoch, max_epoch):
         train_dataset.set_epoch(epoch)

@@ -18,6 +18,7 @@ import numpy as np
 from wekws_tpu.models.fsmn import FSMN
 from wekws_tpu.models.kws_model import KWSModel, mask_padding
 from wekws_tpu.models.mdtc import MDTC
+from wekws_tpu.models.tcn import TCN
 from wekws_tpu.models.subsampling import (
     LinearSubsampling1,
     NoSubsampling,
@@ -32,6 +33,11 @@ from wekws_tpu.ops.fused_mdtc import (
     fused_mdtc_forward,
     fused_mdtc_stream,
     init_stream_cache,
+)
+from wekws_tpu.ops.fused_tcn import (
+    extract_ds_tcn_weights,
+    fused_ds_tcn,
+    init_tcn_cache,
 )
 
 
@@ -133,6 +139,63 @@ def _build_fused_fsmn(model, variables, softmax, streaming):
     return forward
 
 
+def _build_fused_tcn(model, variables, softmax, streaming):
+    """Forward/step builder for the fused DS-TCN path."""
+    if not model.backbone.ds:
+        return None  # full-conv CnnBlocks stay on XLA (see fused_tcn)
+    clf_head = _head_weights(model.classifier, variables["params"])
+    if clf_head is None:
+        return None
+    if not isinstance(model.preprocessing, LinearSubsampling1):
+        return None
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables.get("batch_stats", {}))
+    dw_w, dw_b, pw_w, pw_b, dilations = extract_ds_tcn_weights(
+        model.backbone, params["backbone"], stats["backbone"]
+    )
+    kern = model.backbone.kernel_size
+    pad_max = (kern - 1) * max(dilations)
+    channels = model.backbone.channel
+    prep = params["preprocessing"]["proj"]
+    prep_w, prep_b = jnp.asarray(prep["kernel"]), jnp.asarray(prep["bias"])
+    cmvn_mean, cmvn_istd = _cmvn_weights(model)
+    sigmoid = model.activation == "sigmoid"
+
+    def run(x, cache, lengths=None):
+        if not streaming:
+            x = mask_padding(x, lengths)
+        if cmvn_mean is not None:
+            x = (x - cmvn_mean) * cmvn_istd
+            if not streaming:
+                x = mask_padding(x, lengths)
+        x = jax.nn.relu(x @ prep_w + prep_b)
+        x, cache = fused_ds_tcn(
+            x, cache, dw_w, dw_b, pw_w, pw_b, dilations, kern
+        )
+        for wgt, bias, act in clf_head:
+            x = x @ wgt + bias
+            if act == "relu":
+                x = jax.nn.relu(x)
+        if sigmoid:
+            x = jax.nn.sigmoid(x)
+        if softmax:
+            x = jax.nn.softmax(x, axis=-1)
+        return x, cache
+
+    def init_cache(batch: int = 1):
+        return init_tcn_cache(len(dilations), batch, pad_max, channels)
+
+    if streaming:
+        return jax.jit(run), init_cache
+
+    @jax.jit
+    def forward(feats, lengths=None):
+        out, _ = run(feats, init_cache(feats.shape[0]), lengths)
+        return out
+
+    return forward
+
+
 def build_fused_forward(
     model: KWSModel, variables: dict, softmax: bool = False
 ) -> Optional[Callable]:
@@ -140,6 +203,8 @@ def build_fused_forward(
     shape isn't supported by the fused path."""
     if isinstance(model.backbone, FSMN):
         return _build_fused_fsmn(model, variables, softmax, streaming=False)
+    if isinstance(model.backbone, TCN):
+        return _build_fused_tcn(model, variables, softmax, streaming=False)
     if not isinstance(model.backbone, MDTC):
         return None
     if not isinstance(model.preprocessing, LinearSubsampling1):
@@ -198,6 +263,8 @@ def build_fused_stream(
     NOT the flax pytree cache."""
     if isinstance(model.backbone, FSMN):
         return _build_fused_fsmn(model, variables, softmax, streaming=True)
+    if isinstance(model.backbone, TCN):
+        return _build_fused_tcn(model, variables, softmax, streaming=True)
     if not isinstance(model.backbone, MDTC):
         return None
     if not isinstance(model.preprocessing, LinearSubsampling1):
