@@ -156,13 +156,16 @@ void GraphModel::Load(const std::string& model_dir) {
           } else {
             WEKWS_CHECK(offset + size <= i8.size());
             const int cout = t.shape.back();
-            // statically calibrated matmul ops execute in int8: keep
-            // the raw weights + per-channel scales (attrs precede
+            // statically calibrated matmul/tap ops execute in int8:
+            // keep the raw weights + per-channel scales (attrs precede
             // weights on the op line, so in_scale is already parsed)
             const bool int8_exec =
-                op.attrs.count("in_scale") != 0 && name == "W" &&
-                (op.op == "dense" || op.op == "conv" ||
-                 op.op == "dw_conv");
+                op.attrs.count("in_scale") != 0 &&
+                ((name == "W" &&
+                  (op.op == "dense" || op.op == "conv" ||
+                   op.op == "dw_conv")) ||
+                 ((name == "Wl" || name == "Wr") &&
+                  op.op == "fsmn_block"));
             if (int8_exec) {
               t.qdata.assign(i8.begin() + offset,
                              i8.begin() + offset + size);
@@ -373,25 +376,65 @@ Matrix GraphModel::Forward(const Matrix& feats,
       const int c = x.cols;
       y = Matrix(t_out, c);
       const int start = (lorder - 1) * lstride;
-      for (int t = 0; t < t_out; ++t) {
-        float* out = y.row(t);
-        std::copy(ext.row(start + t), ext.row(start + t) + c, out);
-        for (int tap = 0; tap < lorder; ++tap) {
-          const float* in = ext.row(t + tap * lstride);
-          const float* w = wl.data.data() + tap * c;
-          for (int ci = 0; ci < c; ++ci) out[ci] += in[ci] * w[ci];
-        }
-      }
-      if (rorder > 0) {
-        const Tensor& wr = op.weights.at("Wr");
-        const int rspan = rorder * rstride;
-        const int base = ext.rows - (t_out + rspan) + rstride;
+      const int rspan = rorder * rstride;
+      const int rbase = ext.rows - (t_out + rspan) + rstride;
+      if (wl.is_int8()) {
+        // int8 taps; the identity path stays exact f32 (implicit
+        // weight 1.0 has no per-channel scale) — matches
+        // np_runtime._fsmn_block
+        const float s = op.fattr("in_scale");
+        const int zp = op.iattr("in_zp");
+        std::vector<int32_t> extq = QuantizeShifted(
+            ext.data.data(), ext.data.size(), s, zp);
+        std::vector<int32_t> acc(c);
+        const Tensor* wr =
+            rorder > 0 ? &op.weights.at("Wr") : nullptr;
         for (int t = 0; t < t_out; ++t) {
           float* out = y.row(t);
-          for (int tap = 0; tap < rorder; ++tap) {
-            const float* in = ext.row(base + t + tap * rstride);
-            const float* w = wr.data.data() + tap * c;
+          std::copy(ext.row(start + t), ext.row(start + t) + c, out);
+          std::fill(acc.begin(), acc.end(), 0);
+          for (int tap = 0; tap < lorder; ++tap) {
+            const int32_t* in = extq.data() + (t + tap * lstride) * c;
+            const int8_t* w = wl.qdata.data() + tap * c;
+            for (int ci = 0; ci < c; ++ci) acc[ci] += in[ci] * w[ci];
+          }
+          for (int ci = 0; ci < c; ++ci) {
+            out[ci] += static_cast<float>(acc[ci]) * (s * wl.data[ci]);
+          }
+          if (wr != nullptr) {
+            std::fill(acc.begin(), acc.end(), 0);
+            for (int tap = 0; tap < rorder; ++tap) {
+              const int32_t* in =
+                  extq.data() + (rbase + t + tap * rstride) * c;
+              const int8_t* w = wr->qdata.data() + tap * c;
+              for (int ci = 0; ci < c; ++ci) acc[ci] += in[ci] * w[ci];
+            }
+            for (int ci = 0; ci < c; ++ci) {
+              out[ci] +=
+                  static_cast<float>(acc[ci]) * (s * wr->data[ci]);
+            }
+          }
+        }
+      } else {
+        for (int t = 0; t < t_out; ++t) {
+          float* out = y.row(t);
+          std::copy(ext.row(start + t), ext.row(start + t) + c, out);
+          for (int tap = 0; tap < lorder; ++tap) {
+            const float* in = ext.row(t + tap * lstride);
+            const float* w = wl.data.data() + tap * c;
             for (int ci = 0; ci < c; ++ci) out[ci] += in[ci] * w[ci];
+          }
+        }
+        if (rorder > 0) {
+          const Tensor& wr = op.weights.at("Wr");
+          const int base = rbase;
+          for (int t = 0; t < t_out; ++t) {
+            float* out = y.row(t);
+            for (int tap = 0; tap < rorder; ++tap) {
+              const float* in = ext.row(base + t + tap * rstride);
+              const float* w = wr.data.data() + tap * c;
+              for (int ci = 0; ci < c; ++ci) out[ci] += in[ci] * w[ci];
+            }
           }
         }
       }

@@ -239,3 +239,64 @@ def test_stream_kws_main_mic_unavailable(capi, tmp_path, rng):
     if not has_alsa:
         assert "not available" in result.stderr or "cannot open" \
             in result.stderr
+
+
+def test_cpp_static_quantized_fsmn_matches_np_spec(capi, tmp_path, rng):
+    """fsmn_block int8 execution: taps in int8, identity path exact
+    f32 — C++ vs numpy spec vs float artifact."""
+    from wekws_tpu.export import GraphRuntime, export_model
+    from wekws_tpu.export.calibrate import feats_from_waves
+    from wekws_tpu.export.quantize import quantize_artifact
+    from wekws_tpu.models import init_model
+
+    dataset_conf = {
+        "feats_type": "fbank",
+        "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                       "frame_length": 25, "dither": 0.0},
+    }
+    model_conf = {
+        "input_dim": 23, "output_dim": 3, "hidden_dim": 32,
+        "preprocessing": {"type": "none"},
+        "backbone": {"type": "fsmn", "input_affine_dim": 24,
+                     "num_layers": 2, "linear_dim": 32, "proj_dim": 16,
+                     "left_order": 4, "right_order": 2,
+                     "left_stride": 1, "right_stride": 1,
+                     "output_affine_dim": 24},
+        "classifier": {"type": "identity", "dropout": 0.0},
+        "activation": {"type": "identity"},
+    }
+    model = init_model(model_conf)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 20, 23))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    out_dir = str(tmp_path / "fsmn_artifact")
+    export_model(model, variables,
+                 {"model": model_conf, "dataset_conf": dataset_conf},
+                 out_dir)
+
+    calib_waves = [
+        (rng.standard_normal(12000) * 1000).astype(np.float32)
+        for _ in range(6)
+    ]
+    calib = feats_from_waves(out_dir, calib_waves)
+    qdir = str(tmp_path / "fsmn_q")
+    artifact = quantize_artifact(out_dir, qdir, calib_feats=calib)
+    n_fsmn_static = sum(
+        1 for e in artifact["ops"]
+        if e["op"] == "fsmn_block" and "in_scale" in e.get("attrs", {})
+    )
+    assert n_fsmn_static == 2
+
+    wave = (rng.standard_normal(16000) * 1000).astype(np.float32)
+    got, _ = run_capi(capi, qdir, wave)
+    feats = feats_from_waves(qdir, [wave])[0]
+    want, _ = GraphRuntime(qdir).forward(feats)
+    n = min(len(got), len(want))
+    assert n > 20
+    np.testing.assert_allclose(got[:n], want[:n], atol=5e-2, rtol=2e-2)
+
+    f32, _ = run_capi(capi, out_dir, wave)
+    # raw CTC logits on an untrained model: gate int8 error relative
+    # to the observed logit range (trained-model DET parity is gated
+    # end-to-end in PERF.md / test_export.py)
+    spread = float(f32[:n].max() - f32[:n].min())
+    assert np.abs(f32[:n] - got[:n]).max() < 0.05 * max(spread, 1.0)

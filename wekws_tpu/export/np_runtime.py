@@ -195,16 +195,38 @@ class GraphRuntime:
         lstride = attrs["lstride"]
         rstride = attrs["rstride"]
         cid = attrs["cache"]
-        wl = self.tensor(entry["Wl"])  # (lorder, C)
-        wr = self.tensor(entry["Wr"]) if "Wr" in entry else None
         pad = (lorder - 1) * lstride + rorder * rstride
         ext = np.concatenate([state[cid], x], axis=0)
         state[cid] = ext[len(ext) - pad :].copy() if pad else ext[:0]
         t_out = len(ext) - pad
         rspan = rorder * rstride
-        # identity path aligned with the (rorder-delayed) output
+        # identity path aligned with the (rorder-delayed) output —
+        # stays exact f32 even on the int8 path (implicit weight 1.0
+        # has no per-channel scale)
         start = (lorder - 1) * lstride
         y = ext[start : start + t_out].copy()
+        int8_exec = "in_scale" in attrs and "int8" in entry.get("Wl", {})
+        if int8_exec:
+            s = float(attrs["in_scale"])
+            xq = _quantize_shifted(ext, s, int(attrs["in_zp"]))
+            ql, wlsc = self.qtensor(entry["Wl"])
+            qli = ql.astype(np.int32)
+            acc = np.zeros((t_out, ext.shape[1]), np.int32)
+            for tap in range(lorder):
+                acc += xq[tap * lstride : tap * lstride + t_out] * qli[tap]
+            y = y + acc.astype(np.float32) * (np.float32(s) * wlsc)
+            if "Wr" in entry and rorder > 0:
+                qr, wrsc = self.qtensor(entry["Wr"])
+                qri = qr.astype(np.int32)
+                accr = np.zeros((t_out, ext.shape[1]), np.int32)
+                base = len(ext) - (t_out + rspan) + rstride
+                for tap in range(rorder):
+                    o = base + tap * rstride
+                    accr += xq[o : o + t_out] * qri[tap]
+                y = y + accr.astype(np.float32) * (np.float32(s) * wrsc)
+            return y
+        wl = self.tensor(entry["Wl"])  # (lorder, C)
+        wr = self.tensor(entry["Wr"]) if "Wr" in entry else None
         # left taps over ext[:-rspan]
         for tap in range(lorder):
             y += ext[tap * lstride : tap * lstride + t_out] * wl[tap]

@@ -37,9 +37,12 @@ def quantize_artifact(
     (np_runtime.py and the C++ graph_model.cc) execute those ops in
     int8: activations quantize at the op boundary, the dot products
     accumulate in int32, and the result dequantizes through
-    in_scale * weight_scale[channel].  fsmn_block/gru stay in float
-    compute with int8-stored weights (the reference's fbgemm static
-    path likewise only converts Conv/Linear modules)."""
+    in_scale * weight_scale[channel].  fsmn_block taps execute in int8
+    too (the identity path stays exact f32 — implicit weight 1.0 has
+    no channel scale); gru stays float compute with int8-stored
+    weights (its inter-gate sigmoids make static activation quant
+    impractical — the reference's fbgemm path also leaves RNNs in
+    float)."""
     artifact, flat = load_artifact(model_dir)
     qparams = None
     if calib_feats is not None:
@@ -92,7 +95,7 @@ def quantize_artifact(
                 entry[key] = put_f32(take(entry[key]))
         if (
             qparams is not None
-            and entry["op"] in ("dense", "conv", "dw_conv")
+            and entry["op"] in ("dense", "conv", "dw_conv", "fsmn_block")
             and entry["inputs"][0] in qparams
         ):
             s, zp = qparams[entry["inputs"][0]]
