@@ -231,3 +231,26 @@ class TestPlotDet:
         out = tmp_path / "det.png"
         plot_det_curve(["kw"], str(tmp_path), str(out))
         assert out.exists() and out.stat().st_size > 1000
+
+
+def test_write_score_file_skips_fill_rows(tmp_path):
+    """Bucketed batches carry valid=0 fill rows ('<fill>' keys) — the
+    score file must contain only real utterances (round-2 regression:
+    fill rows leaked into score.txt and skewed DET tables)."""
+    def forward(batch):
+        return batch["probs"], batch["lengths"]
+
+    def dataset():
+        rng = np.random.default_rng(0)
+        yield {
+            "keys": ["utt0", "utt1", "<fill>"],
+            "probs": rng.uniform(0, 1, (3, 10, 1)).astype(np.float32),
+            "lengths": np.full((3,), 10, np.int32),
+            "valid": np.asarray([1.0, 1.0, 0.0], np.float32),
+        }
+
+    out = tmp_path / "score.txt"
+    n = write_score_file(forward, dataset(), ["<A>"], str(out))
+    assert n == 2
+    keys = [l.split()[0] for l in out.read_text().splitlines()]
+    assert keys == ["utt0", "utt1"]

@@ -40,17 +40,19 @@ def parse_raw(data: Iterable[dict]) -> Iterator[dict]:
 
 
 def tokenize(data: Iterable[dict], tokenizer) -> Iterator[dict]:
-    """txt -> label.  Integer txt (CE / max-pooling class index) passes
-    through; otherwise the tokenizer maps text to token ids."""
+    """txt -> label.  With a tokenizer (CTC), txt ALWAYS tokenizes —
+    numeric-looking transcripts (e.g. digit token names) must not be
+    misread as class indices.  Without one, integer txt is the CE /
+    max-pooling class index."""
     for sample in data:
         txt = sample["txt"]
-        if isinstance(txt, int) or (
+        if tokenizer is not None:
+            _, ids = tokenizer.tokenize(str(txt))
+            sample["label"] = list(ids)
+        elif isinstance(txt, int) or (
             isinstance(txt, str) and txt.lstrip("-").isdigit()
         ):
             sample["label"] = int(txt)
-        elif tokenizer is not None:
-            _, ids = tokenizer.tokenize(str(txt))
-            sample["label"] = list(ids)
         else:
             # raw text label with no tokenizer (e.g. scoring paths that
             # only need keys): filler id, the txt stays on the sample

@@ -29,7 +29,12 @@ def write_score_file(
             logits, lengths = forward_fn(batch)
             logits = np.asarray(logits)
             lengths = np.asarray(lengths)
+            valid = np.asarray(
+                batch.get("valid", np.ones(len(batch["keys"])))
+            )
             for i, key in enumerate(batch["keys"]):
+                if i < len(valid) and valid[i] == 0:
+                    continue  # bucketed fill row — holds no utterance
                 t = int(lengths[i])
                 for k, name in enumerate(keyword_names):
                     frames = " ".join(

@@ -101,7 +101,12 @@ def write_ctc_score_file(
                     k: np.asarray(val)
                     for k, val in jax.device_get(result).items()
                 }
+            valid = np.asarray(
+                batch.get("valid", np.ones(len(batch["keys"])))
+            )
             for i, key in enumerate(batch["keys"]):
+                if i < len(valid) and valid[i] == 0:
+                    continue  # bucketed fill row — holds no utterance
                 if device_decode:
                     hyps = hyps_from_arrays(result, i)
                 else:
