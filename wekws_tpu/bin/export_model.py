@@ -43,7 +43,15 @@ def main():
     pipeline = DeviceFeaturePipeline.from_conf(
         configs["dataset_conf"], training=False
     )
-    model = init_model(configs["model"])
+    # Export always emits float32 weights, and the parity gate must
+    # compare against exact f32 semantics — strip a training-time
+    # 'dtype: bfloat16' so the reference forward doesn't carry bf16
+    # rounding (~0.1-0.2 on raw logits, which would fail the 1e-3 gate
+    # against the f32 artifact).
+    model_conf = {
+        k: v for k, v in configs["model"].items() if k != "dtype"
+    }
+    model = init_model(model_conf)
     input_dim = configs["model"]["input_dim"]
     feats0 = np.zeros((1, 10, input_dim), np.float32)
     variables = model.init(jax.random.PRNGKey(0), feats0)
