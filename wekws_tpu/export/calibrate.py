@@ -12,6 +12,14 @@ pairs.
 The zero point is chosen so that 0.0 is exactly representable (zero
 padding and ReLU floors quantize without bias), matching the standard
 affine-uint8/int8 scheme.
+
+Default is min/max.  Measured on the trained synthetic FSMN CTC
+model: percentile clipping makes things WORSE (max logit deviation
+2.0 min/max -> 7.4 at 99.9% -> 28.8 at 99.5%) — these small models
+carry meaningful activation outliers, so clip-based ranges trade a
+little resolution everywhere for large errors on exactly the frames
+that matter.  ``percentile`` stays available for corpora where
+min/max is dominated by junk outliers.
 """
 
 from typing import Dict, Iterable, List, Optional, Tuple
