@@ -193,3 +193,136 @@ def test_two_process_bucketed_lockstep(tmp_path):
         assert line, out[-2000:]
         shape_lines.append(line[0])
     assert shape_lines[0] == shape_lines[1]
+
+
+CTC_BUCKET_WORKER = r'''
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+data_list = sys.argv[3]
+dict_dir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, %(repo)r)
+import numpy as np
+from wekws_tpu.data.dataset import init_dataset
+from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+from wekws_tpu.models import init_model
+from wekws_tpu.parallel import make_mesh
+from wekws_tpu.parallel.mesh import make_global_batch
+from wekws_tpu.text import CharTokenizer
+from wekws_tpu.train import Trainer
+
+mesh = make_mesh()
+conf = {
+    "filter_conf": {"max_length": 20480, "min_length": 0,
+                    "token_max_length": 8, "token_min_length": 1},
+    "resample_conf": {"resample_rate": 16000},
+    "feats_type": "fbank",
+    "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                   "frame_length": 25, "dither": 0.0},
+    "shuffle": True,
+    "batch_conf": {"batch_size": 4,
+                   "bucket_boundaries": [16000, 32000],
+                   "max_label_len": 8},
+}
+model_conf = {
+    "input_dim": 23, "output_dim": 6, "hidden_dim": 32,
+    "preprocessing": {"type": "none"},
+    "backbone": {"type": "fsmn", "input_affine_dim": 24,
+                 "num_layers": 2, "linear_dim": 32, "proj_dim": 16,
+                 "left_order": 4, "right_order": 1, "left_stride": 1,
+                 "right_stride": 1, "output_affine_dim": 24},
+    "classifier": {"type": "identity", "dropout": 0.0},
+    "activation": {"type": "identity"},
+}
+tok = CharTokenizer(os.path.join(dict_dir, "dict.txt"), None,
+                    unk="<filler>")
+model = init_model(model_conf)
+pipe = DeviceFeaturePipeline.from_conf(conf, True)
+cvp = DeviceFeaturePipeline.from_conf(conf, False)
+tr = Trainer(model, pipe, cvp, "ctc", learning_rate=1e-3)
+ds = init_dataset(data_list, conf, tok, split="train", rank=pid,
+                  world_size=2)
+ds.set_epoch(1)
+state = None
+shapes = []
+for b in ds:
+    arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+    gb = make_global_batch(arrays, mesh)
+    if state is None:
+        state = tr.init_state(jax.random.PRNGKey(0), b, mesh)
+    state, m = tr.train_step(state, gb, jax.random.PRNGKey(1), 1e-3)
+    loss = float(jax.device_get(m["loss"]))
+    assert np.isfinite(loss), loss
+    shapes.append((tuple(b["waves"].shape), tuple(b["target"].shape)))
+# every batch must carry the globally fixed (B, max_label_len) target
+assert all(t == (4, 8) for _, t in shapes), shapes
+print(f"MH_CTC_SHAPES={shapes}", flush=True)
+''' % {"repo": REPO}
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_MULTIHOST") != "1",
+    reason="slow 2-process test; set RUN_MULTIHOST=1",
+)
+def test_two_process_bucketed_ctc_lockstep(tmp_path):
+    """Bucketed CTC under real multi-process DP: waveform AND token
+    label shapes must be lockstep across ranks (labels pad to the
+    global max_label_len, never to a rank-local batch max)."""
+    import json
+
+    import numpy as np
+
+    from wekws_tpu.data.audio import write_wav
+
+    (tmp_path / "dict.txt").write_text(
+        "<blank> 0\n<filler> 1\n1 2\n2 3\n3 4\n4 5\n"
+    )
+    rng = np.random.default_rng(1)
+    lines = []
+    for i in range(24):
+        n = 12000 + 500 * (i % 4) if i < 12 else 26000 + 500 * (i % 4)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p),
+                  (0.2 * rng.standard_normal(n)).astype(np.float32),
+                  16000)
+        seq = "".join(
+            str(rng.integers(1, 5)) for _ in range(2 + i % 5)
+        )
+        lines.append(json.dumps({
+            "key": f"u{i}", "txt": seq, "wav": str(p),
+            "duration": n / 16000.0,
+        }))
+    lst = tmp_path / "data.list"
+    lst.write_text("\n".join(lines))
+
+    worker = tmp_path / "ctc_worker.py"
+    worker.write_text(CTC_BUCKET_WORKER)
+    port = "12399"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker), str(i), port, str(lst),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    shape_lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if "MH_CTC_SHAPES" in l]
+        assert line, out[-2000:]
+        shape_lines.append(line[0])
+    assert shape_lines[0] == shape_lines[1]
