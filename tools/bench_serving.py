@@ -47,6 +47,12 @@ def main():
                          "kernel_size": 5, "hidden_dim": 64,
                          "causal": True},
         },
+        "ds_tcn": {
+            "input_dim": 40, "output_dim": 1, "hidden_dim": 64,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "tcn", "ds": True, "num_layers": 4,
+                         "kernel_size": 8, "dropout": 0.0},
+        },
         "fsmn": {
             "input_dim": 80, "output_dim": 8, "hidden_dim": 250,
             "preprocessing": {"type": "none"},
