@@ -2,11 +2,11 @@
 """Generate a synthetic token-sequence corpus for the CTC path.
 
 Zero-download analog of the hi_xiaowen CTC recipe: four "phones"
-a/b/c/d are distinct tones; an utterance is a random 3-6 token
+1/2/3/4 are distinct tones; an utterance is a random 3-6 token
 sequence rendered as tone segments with pitch/level/duration jitter
-over a noise floor.  The wake sequence is "abc": keyword utterances
+over a noise floor.  The wake sequence is "123": keyword utterances
 contain it as a contiguous subsequence, fillers are sequences that
-avoid it (including the hard negatives "acb"/"bac" permutations).
+avoid it (including hard-negative permutations like "132"/"213").
 Writes {train,dev,test}.list with ``txt`` token strings plus the
 dict/ token table.
 """

@@ -254,3 +254,39 @@ def test_write_score_file_skips_fill_rows(tmp_path):
     assert n == 2
     keys = [l.split()[0] for l in out.read_text().splitlines()]
     assert keys == ["utt0", "utt1"]
+
+
+def test_accuracy_skips_fill_rows():
+    """compute_accuracy must exclude valid=0 fill rows from both
+    correct and total (round-2 regression: a bucketed test config
+    counted zero-rows whose argmax hit class 0 as correct)."""
+    from wekws_tpu.eval.accuracy import accuracy_over_dataset
+
+    def forward(batch):
+        return batch["logits"], None
+
+    def dataset():
+        logits = np.zeros((4, 3), np.float32)
+        logits[0, 1] = 1.0  # pred 1, target 1 -> hit
+        logits[1, 2] = 1.0  # pred 2, target 0 -> miss
+        # rows 2-3 are zero fill rows: argmax 0 == fill target 0,
+        # which the old code counted as correct
+        yield {
+            "keys": ["utt0", "utt1", "<fill>", "<fill>"],
+            "logits": logits,
+            "target": np.asarray([1, 0, 0, 0]),
+            "valid": np.asarray([1.0, 1.0, 0.0, 0.0], np.float32),
+        }
+
+    correct, total = accuracy_over_dataset(forward, dataset())
+    assert (correct, total) == (1, 2)
+
+    # no 'valid' key -> every row counts
+    def dataset_plain():
+        yield {
+            "keys": ["utt0", "utt1"],
+            "logits": np.asarray([[0.0, 1.0], [1.0, 0.0]], np.float32),
+            "target": np.asarray([1, 1]),
+        }
+
+    assert accuracy_over_dataset(forward, dataset_plain()) == (1, 2)

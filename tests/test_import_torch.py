@@ -13,9 +13,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
-import torch.nn.functional as F
+
+torch = pytest.importorskip("torch")  # torch is an optional dependency
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
 
 from wekws_tpu.models import init_model
 from wekws_tpu.tools.import_torch import import_torch_checkpoint

@@ -7,8 +7,6 @@ its drifted legacy dataset — SURVEY.md §2.2 note).
 
 import argparse
 
-import numpy as np
-
 
 def main():
     parser = argparse.ArgumentParser(description="compute accuracy")
@@ -20,6 +18,7 @@ def main():
 
     from wekws_tpu.bin.common import load_test_setup, make_forward_fn
     from wekws_tpu.data import init_dataset
+    from wekws_tpu.eval.accuracy import accuracy_over_dataset
 
     configs, model, variables, pipeline, test_conf = load_test_setup(
         args.config, args.checkpoint, args.batch_size
@@ -28,12 +27,7 @@ def main():
         args.test_data, test_conf, split="test", rank=0, world_size=1
     )
     forward = make_forward_fn(model, variables, pipeline)
-    correct, total = 0, 0
-    for batch in dataset:
-        logits, _ = forward(batch)
-        pred = np.argmax(logits, axis=-1)
-        correct += int((pred == batch["target"]).sum())
-        total += len(batch["keys"])
+    correct, total = accuracy_over_dataset(forward, dataset)
     acc = correct / max(total, 1)
     print(f"Accuracy: {acc:.6f} ({correct}/{total})")
 

@@ -70,18 +70,9 @@ class _Builder:
 
 
 def _fold_bn(w, b, bn_params, bn_stats):
-    """Fold BN(scale,bias,mean,var) into conv/dense (w, b).
+    from wekws_tpu.ops.fused_common import fold_bn
 
-    w's last axis is the output-channel axis."""
-    gamma = np.asarray(bn_params["scale"], np.float64)
-    beta = np.asarray(bn_params["bias"], np.float64)
-    mean = np.asarray(bn_stats["mean"], np.float64)
-    var = np.asarray(bn_stats["var"], np.float64)
-    scale = gamma / np.sqrt(var + BN_EPS)
-    w = np.asarray(w, np.float64) * scale
-    b = (np.asarray(b, np.float64) if b is not None else 0.0)
-    b = (b - mean) * scale + beta
-    return w.astype(np.float32), b.astype(np.float32)
+    return fold_bn(w, b, bn_params, bn_stats, eps=BN_EPS)
 
 
 def _lower_tcn(b: _Builder, x: int, params, stats, module) -> int:

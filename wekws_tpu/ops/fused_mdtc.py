@@ -209,23 +209,10 @@ def _kernel_stream(
     )
 
 
-def init_stream_cache(
-    n_layers: int, batch: int, pad_max: int, channels: int
-) -> jnp.ndarray:
-    return jnp.zeros((n_layers, batch, pad_max, channels), jnp.float32)
-
-
-def _fold_bn(w, b, bn_params, bn_stats, eps=1e-5):
-    gamma = np.asarray(bn_params["scale"], np.float64)
-    beta = np.asarray(bn_params["bias"], np.float64)
-    mean = np.asarray(bn_stats["mean"], np.float64)
-    var = np.asarray(bn_stats["var"], np.float64)
-    scale = gamma / np.sqrt(var + eps)
-    w = np.asarray(w, np.float64) * scale
-    b = np.asarray(b, np.float64) if b is not None else 0.0
-    return (w).astype(np.float32), ((b - mean) * scale + beta).astype(
-        np.float32
-    )
+from wekws_tpu.ops.fused_common import (  # noqa: E402
+    fold_bn as _fold_bn,
+    init_ring_cache as init_stream_cache,
+)
 
 
 def extract_mdtc_weights(mdtc_module, params, batch_stats):

@@ -2,18 +2,23 @@
 
 Rebuilds the KWSModel forward (cmvn -> preprocessing -> backbone ->
 classifier -> activation) around a whole-backbone Pallas kernel —
-``fused_mdtc_forward`` (ops/fused_mdtc.py) or ``fused_fsmn_layers``
-(ops/fused_fsmn.py) — so the backbone runs as one VMEM-resident
-program, 1.3-1.8x lower latency than the XLA path at streaming batch
-sizes (PERF.md).  Supported heads: linear (wake word), identity
-(CTC), element MLP; other configs fall back to ``model.apply``.
+``fused_mdtc_forward`` (ops/fused_mdtc.py), ``fused_fsmn_layers``
+(ops/fused_fsmn.py), or ``fused_ds_tcn`` (ops/fused_tcn.py) — so the
+backbone runs as one VMEM-resident program, 1.3-1.8x lower latency
+than the XLA path at streaming batch sizes (PERF.md).  Supported
+heads: linear (wake word), identity (CTC), element MLP; other configs
+fall back to ``model.apply``.
+
+Every backbone builder only supplies a ``backbone_fn(x, cache)`` and a
+cache constructor; the surrounding pipeline (padding mask, cmvn,
+linear-subsampling relu, classifier head, sigmoid/softmax) is shared
+in ``_make_runner`` so it cannot drift between backbones.
 """
 
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from wekws_tpu.models.fsmn import FSMN
 from wekws_tpu.models.kws_model import KWSModel, mask_padding
@@ -75,25 +80,33 @@ def _cmvn_weights(model):
     return mean, istd
 
 
-def _build_fused_fsmn(model, variables, softmax, streaming):
-    """Forward/step builder for the fused FSMN path."""
-    clf_head = _head_weights(model.classifier, variables["params"])
-    if clf_head is None:
-        return None
+def _prep_weights(model, params):
+    """-> ((W, b) | (None, None), ok) for the preprocessing stage."""
     prep = model.preprocessing
-    params = jax.device_get(variables["params"])
     if isinstance(prep, LinearSubsampling1):
         p = params["preprocessing"]["proj"]
-        prep_w, prep_b = jnp.asarray(p["kernel"]), jnp.asarray(p["bias"])
-    elif isinstance(prep, NoSubsampling):
-        prep_w = prep_b = None
-    else:
+        return (jnp.asarray(p["kernel"]), jnp.asarray(p["bias"])), True
+    if isinstance(prep, NoSubsampling):
+        return (None, None), True
+    return (None, None), False
+
+
+def _make_runner(model, params, backbone_fn, init_cache, softmax,
+                 streaming, *, require_linear_prep=False):
+    """Shared pipeline around a fused backbone.
+
+    backbone_fn: (x (B,T,D), cache) -> (x', cache').  Non-streaming
+    MDTC passes the cache through untouched (its kernel is whole-
+    utterance).  Returns jitted ``forward(feats, lengths)`` or, when
+    streaming, ``(step(feats, cache), init_cache)``; None when the
+    head/preprocessing shape is unsupported.
+    """
+    clf_head = _head_weights(model.classifier, params)
+    if clf_head is None:
         return None
-    fsmn = model.backbone
-    (in1_w, in1_b, in2_w, in2_b, proj_w, wl, wr, aff_w, aff_b,
-     out1_w, out1_b, out2_w, out2_b) = extract_fsmn_weights(
-        fsmn, params["backbone"]
-    )
+    (prep_w, prep_b), prep_ok = _prep_weights(model, params)
+    if not prep_ok or (require_linear_prep and prep_w is None):
+        return None
     cmvn_mean, cmvn_istd = _cmvn_weights(model)
     sigmoid = model.activation == "sigmoid"
 
@@ -106,12 +119,7 @@ def _build_fused_fsmn(model, variables, softmax, streaming):
                 x = mask_padding(x, lengths)
         if prep_w is not None:
             x = jax.nn.relu(x @ prep_w + prep_b)
-        x = jnp.maximum((x @ in1_w + in1_b) @ in2_w + in2_b, 0.0)
-        x, cache = fused_fsmn_layers(
-            x, cache, proj_w, wl, wr, aff_w, aff_b,
-            fsmn.lorder, fsmn.rorder, fsmn.lstride, fsmn.rstride,
-        )
-        x = (x @ out1_w + out1_b) @ out2_w + out2_b
+        x, cache = backbone_fn(x, cache)
         for wgt, bias, act in clf_head:
             x = x @ wgt + bias
             if act == "relu":
@@ -121,69 +129,6 @@ def _build_fused_fsmn(model, variables, softmax, streaming):
         if softmax:
             x = jax.nn.softmax(x, axis=-1)
         return x, cache
-
-    def init_cache(batch: int = 1):
-        return init_fsmn_cache(
-            fsmn.fsmn_layers, batch, fsmn.layer_padding, fsmn.proj_dim
-        )
-
-    if streaming:
-        step = jax.jit(run)
-        return step, init_cache
-
-    @jax.jit
-    def forward(feats, lengths=None):
-        out, _ = run(feats, init_cache(feats.shape[0]), lengths)
-        return out
-
-    return forward
-
-
-def _build_fused_tcn(model, variables, softmax, streaming):
-    """Forward/step builder for the fused DS-TCN path."""
-    if not model.backbone.ds:
-        return None  # full-conv CnnBlocks stay on XLA (see fused_tcn)
-    clf_head = _head_weights(model.classifier, variables["params"])
-    if clf_head is None:
-        return None
-    if not isinstance(model.preprocessing, LinearSubsampling1):
-        return None
-    params = jax.device_get(variables["params"])
-    stats = jax.device_get(variables.get("batch_stats", {}))
-    dw_w, dw_b, pw_w, pw_b, dilations = extract_ds_tcn_weights(
-        model.backbone, params["backbone"], stats["backbone"]
-    )
-    kern = model.backbone.kernel_size
-    pad_max = (kern - 1) * max(dilations)
-    channels = model.backbone.channel
-    prep = params["preprocessing"]["proj"]
-    prep_w, prep_b = jnp.asarray(prep["kernel"]), jnp.asarray(prep["bias"])
-    cmvn_mean, cmvn_istd = _cmvn_weights(model)
-    sigmoid = model.activation == "sigmoid"
-
-    def run(x, cache, lengths=None):
-        if not streaming:
-            x = mask_padding(x, lengths)
-        if cmvn_mean is not None:
-            x = (x - cmvn_mean) * cmvn_istd
-            if not streaming:
-                x = mask_padding(x, lengths)
-        x = jax.nn.relu(x @ prep_w + prep_b)
-        x, cache = fused_ds_tcn(
-            x, cache, dw_w, dw_b, pw_w, pw_b, dilations, kern
-        )
-        for wgt, bias, act in clf_head:
-            x = x @ wgt + bias
-            if act == "relu":
-                x = jax.nn.relu(x)
-        if sigmoid:
-            x = jax.nn.sigmoid(x)
-        if softmax:
-            x = jax.nn.softmax(x, axis=-1)
-        return x, cache
-
-    def init_cache(batch: int = 1):
-        return init_tcn_cache(len(dilations), batch, pad_max, channels)
 
     if streaming:
         return jax.jit(run), init_cache
@@ -196,80 +141,63 @@ def _build_fused_tcn(model, variables, softmax, streaming):
     return forward
 
 
-def build_fused_forward(
-    model: KWSModel, variables: dict, softmax: bool = False
-) -> Optional[Callable]:
-    """-> f(feats, lengths) -> posteriors, or None when the model
-    shape isn't supported by the fused path."""
-    if isinstance(model.backbone, FSMN):
-        return _build_fused_fsmn(model, variables, softmax, streaming=False)
-    if isinstance(model.backbone, TCN):
-        return _build_fused_tcn(model, variables, softmax, streaming=False)
-    if not isinstance(model.backbone, MDTC):
-        return None
-    if not isinstance(model.preprocessing, LinearSubsampling1):
-        return None
+def _build_fused_fsmn(model, variables, softmax, streaming):
+    """Forward/step builder for the fused FSMN path."""
+    params = jax.device_get(variables["params"])
+    fsmn = model.backbone
+    (in1_w, in1_b, in2_w, in2_b, proj_w, wl, wr, aff_w, aff_b,
+     out1_w, out1_b, out2_w, out2_b) = extract_fsmn_weights(
+        fsmn, params["backbone"]
+    )
 
+    def backbone_fn(x, cache):
+        x = jnp.maximum((x @ in1_w + in1_b) @ in2_w + in2_b, 0.0)
+        x, cache = fused_fsmn_layers(
+            x, cache, proj_w, wl, wr, aff_w, aff_b,
+            fsmn.lorder, fsmn.rorder, fsmn.lstride, fsmn.rstride,
+        )
+        x = (x @ out1_w + out1_b) @ out2_w + out2_b
+        return x, cache
+
+    def init_cache(batch: int = 1):
+        return init_fsmn_cache(
+            fsmn.fsmn_layers, batch, fsmn.layer_padding, fsmn.proj_dim
+        )
+
+    return _make_runner(
+        model, params, backbone_fn, init_cache, softmax, streaming
+    )
+
+
+def _build_fused_tcn(model, variables, softmax, streaming):
+    """Forward/step builder for the fused DS-TCN path."""
+    if not model.backbone.ds:
+        return None  # full-conv CnnBlocks stay on XLA (see fused_tcn)
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables.get("batch_stats", {}))
-    weights = extract_mdtc_weights(
+    dw_w, dw_b, pw_w, pw_b, dilations = extract_ds_tcn_weights(
         model.backbone, params["backbone"], stats["backbone"]
     )
-    dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b, dilations = weights
-    k = model.backbone.kernel_size
-    stack_size = model.backbone.stack_size
+    kern = model.backbone.kernel_size
+    pad_max = (kern - 1) * max(dilations)
+    channels = model.backbone.channel
 
-    prep = params["preprocessing"]["proj"]
-    prep_w = jnp.asarray(prep["kernel"])
-    prep_b = jnp.asarray(prep["bias"])
-
-    cmvn_mean, cmvn_istd = _cmvn_weights(model)
-    head_w = _head_weights(model.classifier, params)
-    if head_w is None:
-        return None
-    sigmoid = model.activation == "sigmoid"
-
-    @jax.jit
-    def forward(feats, lengths=None):
-        x = mask_padding(feats, lengths)
-        if cmvn_mean is not None:
-            x = mask_padding((x - cmvn_mean) * cmvn_istd, lengths)
-        x = jax.nn.relu(x @ prep_w + prep_b)
-        x = fused_mdtc_forward(
-            x, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b,
-            dilations, k, stack_size,
+    def backbone_fn(x, cache):
+        return fused_ds_tcn(
+            x, cache, dw_w, dw_b, pw_w, pw_b, dilations, kern
         )
-        for w, b, act in head_w:
-            x = x @ w + b
-            if act == "relu":
-                x = jax.nn.relu(x)
-        if sigmoid:
-            x = jax.nn.sigmoid(x)
-        if softmax:
-            x = jax.nn.softmax(x, axis=-1)
-        return x
 
-    return forward
+    def init_cache(batch: int = 1):
+        return init_tcn_cache(len(dilations), batch, pad_max, channels)
+
+    return _make_runner(
+        model, params, backbone_fn, init_cache, softmax, streaming,
+        require_linear_prep=True,
+    )
 
 
-def build_fused_stream(
-    model: KWSModel, variables: dict, softmax: bool = False
-):
-    """Streaming fused apply for KeyWordSpotter-style engines.
-
-    -> (step_fn(feats (1,T,D), cache) -> (posteriors, cache'),
-        init_cache_fn(batch) -> cache) or None when unsupported.
-    The cache is the packed (L, B, pad_max, C) fused-kernel context,
-    NOT the flax pytree cache."""
-    if isinstance(model.backbone, FSMN):
-        return _build_fused_fsmn(model, variables, softmax, streaming=True)
-    if isinstance(model.backbone, TCN):
-        return _build_fused_tcn(model, variables, softmax, streaming=True)
-    if not isinstance(model.backbone, MDTC):
-        return None
-    if not isinstance(model.preprocessing, LinearSubsampling1):
-        return None
-
+def _build_fused_mdtc(model, variables, softmax, streaming):
+    """Forward/step builder for the fused MDTC path."""
     params = jax.device_get(variables["params"])
     stats = jax.device_get(variables.get("batch_stats", {}))
     weights = extract_mdtc_weights(
@@ -281,36 +209,61 @@ def build_fused_stream(
     pad_max = (kern - 1) * max(dilations)
     channels = model.backbone.res_channels
 
-    prep = params["preprocessing"]["proj"]
-    prep_w = jnp.asarray(prep["kernel"])
-    prep_b = jnp.asarray(prep["bias"])
-    cmvn_mean, cmvn_istd = _cmvn_weights(model)
-    head_w = _head_weights(model.classifier, params)
-    if head_w is None:
-        return None
-    sigmoid = model.activation == "sigmoid"
-
-    @jax.jit
-    def step(feats, cache):
-        x = feats
-        if cmvn_mean is not None:
-            x = (x - cmvn_mean) * cmvn_istd
-        x = jax.nn.relu(x @ prep_w + prep_b)
-        x, cache = fused_mdtc_stream(
-            x, cache, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b,
-            dilations, kern, stack_size,
-        )
-        for wgt, bias, act in head_w:
-            x = x @ wgt + bias
-            if act == "relu":
-                x = jax.nn.relu(x)
-        if sigmoid:
-            x = jax.nn.sigmoid(x)
-        if softmax:
-            x = jax.nn.softmax(x, axis=-1)
-        return x, cache
+    if streaming:
+        def backbone_fn(x, cache):
+            return fused_mdtc_stream(
+                x, cache, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b,
+                dilations, kern, stack_size,
+            )
+    else:
+        def backbone_fn(x, cache):
+            # whole-utterance kernel: internally zero-padded, no cache
+            out = fused_mdtc_forward(
+                x, dw_w, dw_b, pw1_w, pw1_b, pw2_w, pw2_b,
+                dilations, kern, stack_size,
+            )
+            return out, cache
 
     def init_cache(batch: int = 1):
+        if not streaming:
+            return None
         return init_stream_cache(len(dilations), batch, pad_max, channels)
 
-    return step, init_cache
+    return _make_runner(
+        model, params, backbone_fn, init_cache, softmax, streaming,
+        require_linear_prep=True,
+    )
+
+
+_BUILDERS = (
+    (FSMN, _build_fused_fsmn),
+    (TCN, _build_fused_tcn),
+    (MDTC, _build_fused_mdtc),
+)
+
+
+def _dispatch(model, variables, softmax, streaming):
+    for cls, builder in _BUILDERS:
+        if isinstance(model.backbone, cls):
+            return builder(model, variables, softmax, streaming)
+    return None
+
+
+def build_fused_forward(
+    model: KWSModel, variables: dict, softmax: bool = False
+) -> Optional[Callable]:
+    """-> f(feats, lengths) -> posteriors, or None when the model
+    shape isn't supported by the fused path."""
+    return _dispatch(model, variables, softmax, streaming=False)
+
+
+def build_fused_stream(
+    model: KWSModel, variables: dict, softmax: bool = False
+):
+    """Streaming fused apply for KeyWordSpotter-style engines.
+
+    -> (step_fn(feats (1,T,D), cache) -> (posteriors, cache'),
+        init_cache_fn(batch) -> cache) or None when unsupported.
+    The cache is the packed (L, B, pad_max, C) fused-kernel context,
+    NOT the flax pytree cache."""
+    return _dispatch(model, variables, softmax, streaming=True)
