@@ -7,6 +7,7 @@
 #include <fstream>
 #include <sstream>
 
+#include "kws/int8_kernels.h"
 #include "utils/log.h"
 
 namespace wekws {
@@ -42,17 +43,13 @@ inline void Activate(float* x, int n, const std::string& act) {
 }
 
 // f32 -> zero-point-shifted int32: clamp(nearbyint(x/s) + zp, -128,
-// 127) - zp.  nearbyint under the default FE_TONEAREST mode rounds
-// half-to-even, bit-matching the numpy spec's np.rint
-// (wekws_tpu/export/np_runtime.py:_quantize_shifted).
+// 127) - zp.  Round half-to-even, bit-matching the numpy spec's
+// np.rint (wekws_tpu/export/np_runtime.py:_quantize_shifted).
+// SIMD via kws/int8_kernels.h (AVX2 when the CPU has it).
 std::vector<int32_t> QuantizeShifted(const float* x, size_t n, float scale,
                                      int zp) {
   std::vector<int32_t> out(n);
-  for (size_t i = 0; i < n; ++i) {
-    float q = std::nearbyint(x[i] / scale) + static_cast<float>(zp);
-    q = std::min(127.0f, std::max(-128.0f, q));
-    out[i] = static_cast<int32_t>(q) - zp;
-  }
+  QuantizeShiftedVec(x, n, scale, zp, out.data());
   return out;
 }
 
@@ -74,6 +71,30 @@ void CausalConv(const Matrix& ext, const Tensor& w, const Tensor* bias,
         if (v == 0.0f) continue;
         const float* wr = wt + ci * cout;
         for (int co = 0; co < cout; ++co) out[co] += v * wr[co];
+      }
+    }
+  }
+}
+
+// Build the VNNI dot layout (see int8_kernels.h): per tap,
+// [(co/8)*groups + g][lane 0..7][4 ci bytes], zero-padded tails, plus
+// per-co column sums over all taps and ci for the u8-shift correction.
+void PackInt8(Tensor* t, int k, int cin, int cout) {
+  const int groups = (cin + 3) / 4;
+  const int coblocks = (cout + 7) / 8;
+  t->qpacked.assign(
+      static_cast<size_t>(k) * coblocks * groups * 32, 0);
+  t->colsum.assign(cout, 0);
+  for (int tap = 0; tap < k; ++tap) {
+    for (int ci = 0; ci < cin; ++ci) {
+      const int8_t* wr =
+          t->qdata.data() + (static_cast<size_t>(tap) * cin + ci) * cout;
+      for (int co = 0; co < cout; ++co) {
+        t->colsum[co] += wr[co];
+        t->qpacked[((static_cast<size_t>(tap) * coblocks + co / 8) * groups +
+                    ci / 4) *
+                       32 +
+                   (co % 8) * 4 + (ci % 4)] = wr[co];
       }
     }
   }
@@ -171,6 +192,14 @@ void GraphModel::Load(const std::string& model_dir) {
                              i8.begin() + offset + size);
               t.data.assign(f32.begin() + scale_offset,
                             f32.begin() + scale_offset + cout);
+              if (Int8PackedDotAvailable() &&
+                  (op.op == "dense" || op.op == "conv")) {
+                if (t.shape.size() == 2) {
+                  PackInt8(&t, 1, t.shape[0], t.shape[1]);
+                } else {
+                  PackInt8(&t, t.shape[0], t.shape[1], t.shape[2]);
+                }
+              }
             } else {  // dequantize per output channel (last axis)
               t.data.resize(size);
               for (size_t i = 0; i < size; ++i) {
@@ -223,22 +252,42 @@ Matrix GraphModel::Forward(const Matrix& feats,
         // in_scale * weight_scale[channel]
         const float s = op.fattr("in_scale");
         const int zp = op.iattr("in_zp");
-        std::vector<int32_t> acc(cout);
-        for (int t = 0; t < x.rows; ++t) {
-          std::vector<int32_t> xq = QuantizeShifted(x.row(t), cin, s, zp);
-          std::fill(acc.begin(), acc.end(), 0);
-          for (int ci = 0; ci < cin; ++ci) {
-            const int32_t v = xq[ci];
-            if (v == 0) continue;
-            const int8_t* wr = w.qdata.data() + ci * cout;
-            for (int co = 0; co < cout; ++co) acc[co] += v * wr[co];
+        const float* bptr = bias != op.weights.end()
+                                ? bias->second.data.data()
+                                : nullptr;
+        if (!w.qpacked.empty()) {
+          // VNNI path: u8 activations, packed s8 weights, integer
+          // column-sum correction (bit-exact with the scalar spec)
+          const int groups = (cin + 3) / 4;
+          const int cout8 = (cout + 7) / 8 * 8;
+          const int32_t shift = 128 + zp;
+          std::vector<uint8_t> aq(groups * 4, 0);
+          std::vector<int32_t> acc(cout8, 0);
+          for (int t = 0; t < x.rows; ++t) {
+            QuantizeU8Vec(x.row(t), cin, s, zp, aq.data());
+            for (int co = 0; co < cout; ++co) {
+              acc[co] = -shift * w.colsum[co];
+            }
+            Int8PackedDot(acc.data(), aq.data(), w.qpacked.data(), groups,
+                          cout);
+            float* out = y.row(t);
+            DequantRow(out, acc.data(), s, w.data.data(), bptr, cout);
+            Activate(out, cout, op.sattr("act", "none"));
           }
-          float* out = y.row(t);
-          for (int co = 0; co < cout; ++co) {
-            out[co] = static_cast<float>(acc[co]) * (s * w.data[co]);
-            if (bias != op.weights.end()) out[co] += bias->second.data[co];
+        } else {
+          std::vector<int32_t> acc(cout);
+          for (int t = 0; t < x.rows; ++t) {
+            std::vector<int32_t> xq = QuantizeShifted(x.row(t), cin, s, zp);
+            std::fill(acc.begin(), acc.end(), 0);
+            for (int ci = 0; ci < cin; ++ci) {
+              const int32_t v = xq[ci];
+              if (v == 0) continue;
+              Int8AxpyRow(acc.data(), w.qdata.data() + ci * cout, v, cout);
+            }
+            float* out = y.row(t);
+            DequantRow(out, acc.data(), s, w.data.data(), bptr, cout);
+            Activate(out, cout, op.sattr("act", "none"));
           }
-          Activate(out, cout, op.sattr("act", "none"));
         }
       } else {
         for (int t = 0; t < x.rows; ++t) {
@@ -280,30 +329,67 @@ Matrix GraphModel::Forward(const Matrix& feats,
         // scale covers it)
         const float s = op.fattr("in_scale");
         const int zp = op.iattr("in_zp");
-        std::vector<int32_t> extq = QuantizeShifted(
-            ext.data.data(), ext.data.size(), s, zp);
+        // extq is only needed by the non-VNNI branches; the VNNI path
+        // quantizes to u8 instead, so defer it.
+        std::vector<int32_t> extq;
         auto bias = op.weights.find("b_");
         if (op.op == "dw_conv") {
+          extq = QuantizeShifted(ext.data.data(), ext.data.size(), s, zp);
           const int c = w.dim(1);
           y = Matrix(t_out, c);
           std::vector<int32_t> acc(c);
           for (int t = 0; t < t_out; ++t) {
             std::fill(acc.begin(), acc.end(), 0);
             for (int tap = 0; tap < k; ++tap) {
-              const int32_t* in =
-                  extq.data() + (t + tap * dilation) * ext.cols;
-              const int8_t* wt = w.qdata.data() + tap * c;
-              for (int ci = 0; ci < c; ++ci) acc[ci] += in[ci] * wt[ci];
+              Int8MulAccum(acc.data(),
+                           extq.data() + (t + tap * dilation) * ext.cols,
+                           w.qdata.data() + tap * c, c);
             }
             float* out = y.row(t);
-            for (int ci = 0; ci < c; ++ci) {
-              out[ci] = static_cast<float>(acc[ci]) * (s * w.data[ci]);
-              if (bias != op.weights.end())
-                out[ci] += bias->second.data[ci];
-            }
+            DequantRow(out, acc.data(), s, w.data.data(),
+                       bias != op.weights.end() ? bias->second.data.data()
+                                                : nullptr,
+                       c);
             Activate(out, c, op.sattr("act", "none"));
           }
+        } else if (!w.qpacked.empty()) {
+          // VNNI path over the cache-extended buffer
+          const int cin = w.dim(1), cout = w.dim(2);
+          y = Matrix(t_out, cout);
+          const float* bptr = bias != op.weights.end()
+                                  ? bias->second.data.data()
+                                  : nullptr;
+          const int groups = (cin + 3) / 4;
+          const int coblocks = (cout + 7) / 8;
+          const int cout8 = coblocks * 8;
+          const int astride = groups * 4;
+          const int32_t shift = 128 + zp;
+          std::vector<uint8_t> aq(
+              static_cast<size_t>(ext.rows) * astride, 0);
+          for (int r = 0; r < ext.rows; ++r) {
+            QuantizeU8Vec(ext.row(r), cin, s, zp,
+                          aq.data() + static_cast<size_t>(r) * astride);
+          }
+          std::vector<int32_t> acc(cout8, 0);
+          for (int t = 0; t < t_out; ++t) {
+            for (int co = 0; co < cout; ++co) {
+              acc[co] = -shift * w.colsum[co];
+            }
+            for (int tap = 0; tap < k; ++tap) {
+              Int8PackedDot(
+                  acc.data(),
+                  aq.data() +
+                      static_cast<size_t>(t + tap * dilation) * astride,
+                  w.qpacked.data() +
+                      static_cast<size_t>(tap) * coblocks * groups * 32,
+                  groups, cout);
+            }
+            float* out = y.row(t);
+            DequantRow(out, acc.data(), s, w.data.data(), bptr, cout);
+            Activate(out, cout, op.sattr("act", "none"));
+          }
         } else {
+          extq = QuantizeShifted(ext.data.data(), ext.data.size(), s, zp);
           const int cin = w.dim(1), cout = w.dim(2);
           y = Matrix(t_out, cout);
           std::vector<int32_t> acc(cout);
@@ -316,16 +402,14 @@ Matrix GraphModel::Forward(const Matrix& feats,
               for (int ci = 0; ci < cin; ++ci) {
                 const int32_t v = in[ci];
                 if (v == 0) continue;
-                const int8_t* wr = wt + ci * cout;
-                for (int co = 0; co < cout; ++co) acc[co] += v * wr[co];
+                Int8AxpyRow(acc.data(), wt + ci * cout, v, cout);
               }
             }
             float* out = y.row(t);
-            for (int co = 0; co < cout; ++co) {
-              out[co] = static_cast<float>(acc[co]) * (s * w.data[co]);
-              if (bias != op.weights.end())
-                out[co] += bias->second.data[co];
-            }
+            DequantRow(out, acc.data(), s, w.data.data(),
+                       bias != op.weights.end() ? bias->second.data.data()
+                                                : nullptr,
+                       cout);
             Activate(out, cout, op.sattr("act", "none"));
           }
         }
@@ -394,9 +478,8 @@ Matrix GraphModel::Forward(const Matrix& feats,
           std::copy(ext.row(start + t), ext.row(start + t) + c, out);
           std::fill(acc.begin(), acc.end(), 0);
           for (int tap = 0; tap < lorder; ++tap) {
-            const int32_t* in = extq.data() + (t + tap * lstride) * c;
-            const int8_t* w = wl.qdata.data() + tap * c;
-            for (int ci = 0; ci < c; ++ci) acc[ci] += in[ci] * w[ci];
+            Int8MulAccum(acc.data(), extq.data() + (t + tap * lstride) * c,
+                         wl.qdata.data() + tap * c, c);
           }
           for (int ci = 0; ci < c; ++ci) {
             out[ci] += static_cast<float>(acc[ci]) * (s * wl.data[ci]);
@@ -404,10 +487,9 @@ Matrix GraphModel::Forward(const Matrix& feats,
           if (wr != nullptr) {
             std::fill(acc.begin(), acc.end(), 0);
             for (int tap = 0; tap < rorder; ++tap) {
-              const int32_t* in =
-                  extq.data() + (rbase + t + tap * rstride) * c;
-              const int8_t* w = wr->qdata.data() + tap * c;
-              for (int ci = 0; ci < c; ++ci) acc[ci] += in[ci] * w[ci];
+              Int8MulAccum(acc.data(),
+                           extq.data() + (rbase + t + tap * rstride) * c,
+                           wr->qdata.data() + tap * c, c);
             }
             for (int ci = 0; ci < c; ++ci) {
               out[ci] +=

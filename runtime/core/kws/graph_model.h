@@ -31,6 +31,12 @@ struct Tensor {
   std::vector<float> data;     // float weights (dequantized at load), or
                                // per-channel scales when qdata is set
   std::vector<int8_t> qdata;   // raw int8 weights: static-quant execution
+  // VNNI fast path (built at load when the CPU supports it):
+  // weights repacked per tap as [(co/8)*groups + g][lane 0..7][4 ci
+  // bytes] for vpdpbusd, plus per-co column sums (over all taps and
+  // ci) for the unsigned-activation-shift correction.
+  std::vector<int8_t> qpacked;
+  std::vector<int32_t> colsum;
   int dim(int i) const { return shape[i]; }
   bool is_int8() const { return !qdata.empty(); }
 };

@@ -194,3 +194,54 @@ def test_train_cli_with_bucketed_batching(workspace):
     assert (model_dir / "0.ckpt").exists()
     sidecar = yaml.safe_load((model_dir / "0.yaml").read_text())
     assert np.isfinite(sidecar["cv_loss"])
+
+
+def test_batch_stream_kws_cli(workspace):
+    """Batched multi-stream serving CLI: N wavs through one batched
+    cached forward, aggregate-RTF summary printed."""
+    import jax
+
+    from wekws_tpu.models import init_model
+    from wekws_tpu.train import save_checkpoint
+
+    tmp = workspace
+    configs = {
+        "dataset_conf": {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 0.0},
+        },
+        "model": {
+            "input_dim": 23, "output_dim": 4, "hidden_dim": 16,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
+                         "kernel_size": 4, "dropout": 0.0},
+            "classifier": {"type": "element", "dropout": 0.0},
+            "activation": {"type": "identity"},
+        },
+    }
+    config_path = tmp / "ctc_config.yaml"
+    config_path.write_text(yaml.dump(configs))
+    model = init_model(configs["model"])
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 10, 23), np.float32)
+    )
+    ckpt = tmp / "ctc.ckpt"
+    save_checkpoint(
+        str(ckpt), variables["params"], variables.get("batch_stats", {})
+    )
+    tokens = tmp / "ctc_tokens.txt"
+    tokens.write_text("<blk> 0\nh 1\ni 2\nx 3\n")
+
+    result = run_cli(
+        "wekws_tpu.bin.batch_stream_kws",
+        "--config", str(config_path),
+        "--checkpoint", str(ckpt),
+        "--token_file", str(tokens),
+        "--keywords", "hi",
+        "--wav_paths", str(tmp / "test_0.wav"), str(tmp / "test_1.wav"),
+        "--streams", "3",
+        "--threshold", "0.5",
+    )
+    assert "served 3 streams" in result.stdout
+    assert "x realtime" in result.stdout

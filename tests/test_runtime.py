@@ -347,3 +347,154 @@ class TestFusedSpotterFSMN:
         np.testing.assert_allclose(
             got[:, :n], want[:, :n], atol=5e-4, rtol=1e-3
         )
+
+
+class TestBatchKeywordSpotter:
+    """The batched multi-stream engine must be frame-exact with N
+    independent single-stream engines."""
+
+    def _make_batch(self, spotter_setup, n, **kw):
+        from wekws_tpu.runtime import BatchKeywordSpotter
+
+        ckpt, config, tokens = spotter_setup
+        return BatchKeywordSpotter(
+            ckpt, config, tokens, None, threshold=0.5, num_streams=n, **kw
+        )
+
+    def _single_posteriors(self, spotter_setup, pcm):
+        """Reference posteriors: one single-stream spotter per wave."""
+        ckpt, config, tokens = spotter_setup
+        spotter = KeyWordSpotter(ckpt, config, tokens, None, threshold=0.5)
+        spotter.set_keywords("hi")
+        probs = []
+        orig = spotter._apply
+
+        def capture(feats, cache):
+            out, c = orig(feats, cache)
+            probs.append(np.asarray(out))
+            return out, c
+
+        spotter._apply = capture
+        for off in range(0, len(pcm), 9600):
+            spotter.forward(pcm[off : off + 9600])
+        return np.concatenate(probs, axis=1)[0]
+
+    def test_matches_independent_single_streams(self, spotter_setup, rng):
+        """3 streams with different audio, staggered chunk arrival:
+        posteriors per stream == a dedicated single-stream engine."""
+        n = 3
+        batch = self._make_batch(spotter_setup, n, step_frames=8)
+        batch.set_keywords("hi")
+
+        waves = [
+            (rng.standard_normal(16000) * 1000).astype("<i2").tobytes()
+            for _ in range(n)
+        ]
+        want = [self._single_posteriors(spotter_setup, w) for w in waves]
+
+        got = [[] for _ in range(n)]
+        orig = batch._step_jit
+
+        def capture(feats, active, reset, cache):
+            probs, c = orig(feats, active, reset, cache)
+            p = np.asarray(probs)
+            for i in range(n):
+                if active[i]:
+                    got[i].append(p[i])
+            return probs, c
+
+        batch._step_jit = capture
+        # staggered arrival: stream i gets its chunk every i+1 rounds
+        offsets = [0] * n
+        chunk = [4800, 9600, 3200]
+        while any(offsets[i] < len(waves[i]) for i in range(n)):
+            for i in range(n):
+                if offsets[i] < len(waves[i]):
+                    batch.accept_wave(
+                        i, waves[i][offsets[i] : offsets[i] + chunk[i]]
+                    )
+                    offsets[i] += chunk[i]
+            batch.step()
+        batch.flush()
+
+        for i in range(n):
+            g = np.concatenate(got[i], axis=0)
+            w = want[i]
+            m = min(len(g), len(w))
+            assert m > 80
+            np.testing.assert_allclose(g[:m], w[:m], atol=1e-5, rtol=1e-5)
+
+    def test_detection_matches_single(self, spotter_setup):
+        """Deterministic posteriors spelling the keyword: the batched
+        FSM activates with the same timestamps as the single engine."""
+        from wekws_tpu.runtime import BatchKeywordSpotter
+
+        ckpt, config, tokens = spotter_setup
+        batch = BatchKeywordSpotter(
+            ckpt, config, tokens, None,
+            threshold=0.3, num_streams=2, step_frames=8, min_frames=1,
+        )
+        batch.set_keywords("hi")
+        v = 4
+        frames = {10: 1, 30: 2}  # 'h' at abs frame 10, 'i' at 30
+
+        def fake_step(feats, active, reset, cache):
+            t = feats.shape[1]
+            probs = np.full((2, t, v), 0.001, np.float32)
+            probs[:, :, 0] = 0.9
+            # stream 0 spells the keyword; stream 1 stays blank
+            for i in range(t):
+                absolute = batch._pending_idx[0][i] if len(
+                    batch._pending_idx[0]
+                ) > i else -1
+                if absolute in frames:
+                    probs[0, i, 0] = 0.05
+                    probs[0, i, frames[absolute]] = 0.9
+            return probs, cache
+
+        batch._step_jit = fake_step
+        pcm = np.zeros(16000, "<i2").tobytes()
+        activated = {}
+        off = 0
+        while off < len(pcm):
+            batch.accept_wave(0, pcm[off : off + 9600])
+            batch.accept_wave(1, pcm[off : off + 9600])
+            off += 9600
+            for i, r in batch.step().items():
+                if r and r.get("state") == 1:
+                    activated[i] = r
+        assert 0 in activated and 1 not in activated
+        assert activated[0]["keyword"] == "hi"
+        assert abs(activated[0]["start"] - 0.10) < 0.02
+        assert abs(activated[0]["end"] - 0.30) < 0.02
+
+    def test_reset_stream_isolated(self, spotter_setup, rng):
+        """Resetting stream 0 mid-run must not perturb stream 1's
+        posteriors (cache-row zeroing is row-local)."""
+        n = 2
+        wave = (rng.standard_normal(16000) * 1000).astype("<i2").tobytes()
+        want = self._single_posteriors(spotter_setup, wave)
+
+        batch = self._make_batch(spotter_setup, n, step_frames=8)
+        batch.set_keywords("hi")
+        got = []
+        orig = batch._step_jit
+
+        def capture(feats, active, reset, cache):
+            probs, c = orig(feats, active, reset, cache)
+            if active[1]:
+                got.append(np.asarray(probs)[1])
+            return probs, c
+
+        batch._step_jit = capture
+        for k, off in enumerate(range(0, len(wave), 4800)):
+            batch.accept_wave(0, wave[off : off + 4800])
+            batch.accept_wave(1, wave[off : off + 4800])
+            batch.step()
+            if k == 1:
+                batch.reset_stream(0)  # mid-run slot recycle
+        batch.flush()
+        g = np.concatenate(got, axis=0)
+        m = min(len(g), len(want))
+        assert m > 80
+        np.testing.assert_allclose(g[:m], want[:m], atol=1e-5, rtol=1e-5)

@@ -1,4 +1,5 @@
 from wekws_tpu.runtime.streaming_frontend import StreamingFrontend
 from wekws_tpu.runtime.keyword_spotter import KeyWordSpotter
+from wekws_tpu.runtime.batch_spotter import BatchKeywordSpotter
 
-__all__ = ["StreamingFrontend", "KeyWordSpotter"]
+__all__ = ["StreamingFrontend", "KeyWordSpotter", "BatchKeywordSpotter"]

@@ -1,0 +1,225 @@
+"""Batched multi-stream keyword spotting engine.
+
+Serves N independent PCM streams through ONE jitted, batched, cached
+model forward. The reference serves one stream per engine instance
+(/root/reference/wekws/bin/stream_kws_ctc.py:218-529 — `KeyWordSpotter`
+holds a single cache/beam); on an accelerator behind a dispatch/RTT
+floor that wastes almost the whole chip (PERF.md: a single stream is
+tunnel-RTT bound at ~2.5x realtime while the batched 8-frame step
+handles 16 streams in ~1 ms). This engine is the TPU-native serving
+shape: per-stream host state (frontend, beam, FSM — all exact
+`StreamDetector` semantics) around one fixed-shape batched device
+program.
+
+Correctness under batching:
+
+* **Lockstep frames.** The device step always runs `step_frames`
+  frames per stream (one compiled program). A stream participates only
+  when it has `step_frames` feature frames queued; non-participating
+  rows carry zero features and their cache rows are restored from the
+  pre-step cache inside the same jitted program, so a slow stream's
+  state is bit-identical to never having run. Causality makes the
+  participating rows exact: frame t depends only on frames <= t and
+  the cache, never on other batch rows (convs/GRU are per-row; BN runs
+  in inference mode from frozen statistics).
+* **Stream resets** (slot reuse, client disconnect) zero that row's
+  cache via a reset mask consumed by the same program — no per-stream
+  dispatch ever happens.
+* **`flush()`** drains sub-`step_frames` remainders with a T=1
+  program (second and last compiled shape).
+
+Detection activation resets only the beam (reference semantics,
+stream_kws_ctc.py:495-501) — the conv cache intentionally carries
+across an activation, exactly like the single-stream engine.
+"""
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from wekws_tpu.runtime.keyword_spotter import (
+    StreamDetector,
+    build_keyword_tables,
+    load_spotter_config,
+    load_spotter_model,
+)
+from wekws_tpu.runtime.streaming_frontend import StreamingFrontend
+from wekws_tpu.text.tokenizer import read_lexicon, read_token
+
+
+class BatchKeywordSpotter:
+    def __init__(
+        self,
+        ckpt_path: str,
+        config_path: str,
+        token_path: str,
+        lexicon_path: Optional[str],
+        threshold: float,
+        num_streams: int = 16,
+        step_frames: int = 8,
+        min_frames: int = 5,
+        max_frames: int = 250,
+        interval_frames: int = 50,
+        score_beam: int = 3,
+        path_beam: int = 20,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        assert num_streams >= 1 and step_frames >= 1
+        self.num_streams = num_streams
+        self.step_frames = step_frames
+
+        configs, cfg, left, right, downsampling = load_spotter_config(
+            config_path
+        )
+        self.sample_rate = cfg.sample_rate
+        self.resolution = cfg.frame_shift_ms / 1000.0
+        self.downsampling = downsampling
+        self._frontend_args = (cfg, left, right, downsampling)
+        self.feat_dim = cfg.feat_dim * (left + 1 + right)
+
+        self.model, self._variables = load_spotter_model(
+            configs, ckpt_path, self.feat_dim
+        )
+
+        def step_fn(feats, active, reset, cache):
+            def row_mask(mask, leaf):
+                return mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+
+            cache = jax.tree.map(
+                lambda c: jnp.where(row_mask(reset, c), 0.0, c), cache
+            )
+            probs, new_cache = self.model.apply(
+                self._variables, feats, cache, softmax=True
+            )
+            out_cache = jax.tree.map(
+                lambda n, o: jnp.where(row_mask(active, n), n, o),
+                new_cache,
+                cache,
+            )
+            return probs, out_cache
+
+        self._step_jit = jax.jit(step_fn)
+
+        self.token_table = read_token(token_path)
+        self.lexicon_table = (
+            read_lexicon(lexicon_path) if lexicon_path else {}
+        )
+        self.detectors: List[StreamDetector] = [
+            StreamDetector(
+                threshold, min_frames, max_frames, interval_frames,
+                score_beam, path_beam, self.resolution, downsampling,
+            )
+            for _ in range(num_streams)
+        ]
+        self.frontends: List[StreamingFrontend] = [
+            StreamingFrontend(*self._frontend_args)
+            for _ in range(num_streams)
+        ]
+        self._pending_feats: List[np.ndarray] = [
+            np.zeros((0, self.feat_dim), np.float32)
+            for _ in range(num_streams)
+        ]
+        self._pending_idx: List[np.ndarray] = [
+            np.zeros((0,), np.int64) for _ in range(num_streams)
+        ]
+        self._reset_mask = np.zeros((num_streams,), bool)
+        self.cache = self.model.init_cache(num_streams)
+
+    # ------------- keywords -------------
+
+    def set_keywords(self, keywords: str) -> None:
+        """Shared keyword set for every stream slot."""
+        tables = build_keyword_tables(
+            keywords, self.token_table, self.lexicon_table
+        )
+        for det in self.detectors:
+            det.set_tables(*tables)
+
+    # ------------- streaming -------------
+
+    def accept_wave(self, stream: int, wave: bytes) -> None:
+        """Queue a PCM chunk (int16 LE bytes) for one stream."""
+        data = np.frombuffer(wave, dtype="<i2").astype(np.float32)
+        feats, idx = self.frontends[stream].accept_waveform(data)
+        if feats.shape[0]:
+            self._pending_feats[stream] = np.concatenate(
+                [self._pending_feats[stream], feats]
+            )
+            self._pending_idx[stream] = np.concatenate(
+                [self._pending_idx[stream], idx]
+            )
+
+    def pending_frames(self, stream: int) -> int:
+        return self._pending_feats[stream].shape[0]
+
+    def step(self) -> Dict[int, Dict]:
+        """Run one batched device step over every stream holding at
+        least ``step_frames`` queued frames. Returns {stream: result}
+        for the streams that ran (result as in KeyWordSpotter)."""
+        ready = [
+            i
+            for i in range(self.num_streams)
+            if self._pending_feats[i].shape[0] >= self.step_frames
+        ]
+        if not ready:
+            return {}
+        return self._run(ready, self.step_frames)
+
+    def flush(self) -> Dict[int, Dict]:
+        """Drain remaining sub-step remainders (end of stream) with a
+        T=1 program. Returns the last result per flushed stream."""
+        results: Dict[int, Dict] = {}
+        while True:  # full-size steps first (cheaper program)
+            ran = self.step()
+            if not ran:
+                break
+            results.update(ran)
+        while True:
+            ready = [
+                i
+                for i in range(self.num_streams)
+                if self._pending_feats[i].shape[0] >= 1
+            ]
+            if not ready:
+                return results
+            results.update(self._run(ready, 1))
+
+    def _run(self, ready: List[int], t: int) -> Dict[int, Dict]:
+        import jax
+
+        n, d = self.num_streams, self.feat_dim
+        feats = np.zeros((n, t, d), np.float32)
+        active = np.zeros((n,), bool)
+        for i in ready:
+            feats[i] = self._pending_feats[i][:t]
+            active[i] = True
+        reset = self._reset_mask.copy()
+        self._reset_mask[:] = False
+
+        probs, self.cache = self._step_jit(feats, active, reset, self.cache)
+        probs = np.asarray(jax.device_get(probs))
+
+        results: Dict[int, Dict] = {}
+        for i in ready:
+            idx = self._pending_idx[i][:t]
+            self._pending_feats[i] = self._pending_feats[i][t:]
+            self._pending_idx[i] = self._pending_idx[i][t:]
+            results[i] = self.detectors[i].process(idx, probs[i])
+        return results
+
+    # ------------- state -------------
+
+    def reset_stream(self, stream: int) -> None:
+        """Free a slot for a new client: clears frontend, queue, beam,
+        FSM and (on the next device step) the cache row."""
+        self.detectors[stream].reset_all()
+        self.frontends[stream].reset()
+        self._pending_feats[stream] = np.zeros((0, self.feat_dim), np.float32)
+        self._pending_idx[stream] = np.zeros((0,), np.int64)
+        self._reset_mask[stream] = True
+
+    def reset_all(self) -> None:
+        for i in range(self.num_streams):
+            self.reset_stream(i)
