@@ -42,9 +42,16 @@ def main():
     # recipe converges identically to f32 (PERF.md round 2); override
     # with BENCH_DTYPE=float32 to bench the pure-f32 path.
     model_conf["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    if os.environ.get("BENCH_REMAT"):
+        model_conf["backbone"] = {
+            **model_conf["backbone"], "remat": True,
+        }
     model = init_model(model_conf)
-    pipeline = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=True)
-    cv_pipeline = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=False)
+    dataset_conf = dict(DATASET_CONF)
+    if os.environ.get("BENCH_FUSED_FRONTEND"):
+        dataset_conf["fused_frontend"] = True
+    pipeline = DeviceFeaturePipeline.from_conf(dataset_conf, training=True)
+    cv_pipeline = DeviceFeaturePipeline.from_conf(dataset_conf, training=False)
     trainer = Trainer(
         model, pipeline, cv_pipeline, "max_pooling",
         learning_rate=1e-3, grad_clip=5.0, min_duration=5,

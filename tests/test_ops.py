@@ -268,3 +268,63 @@ def test_fused_serving_full_conv_tcn_falls_back():
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 10, 40))
     variables = model.init(jax.random.PRNGKey(1), x)
     assert build_fused_forward(model, variables) is None
+
+
+# ---------------- fused frontend (ops/fused_frontend.py) ----------------
+
+
+@pytest.mark.parametrize(
+    "ft,extra",
+    [("fbank", {}), ("mfcc", {"num_ceps": 13})],
+)
+def test_fused_frontend_matches_xla(ft, extra):
+    """Fused Pallas fbank/MFCC == the XLA feature path (dither off).
+
+    Dither (in-kernel TPU PRNG) is validated on real hardware —
+    ``pltpu.prng_random_bits`` yields zeros under interpret mode —
+    see PERF.md for the on-chip distribution check."""
+    from wekws_tpu.frontend.features import FeatureExtractor
+    from wekws_tpu.frontend.kaldi import FrontendConfig
+
+    rng = np.random.default_rng(0)
+    waves = jnp.asarray(
+        (rng.standard_normal((4, 20800)) * 1000).astype(np.float32)
+    )
+    cfg = FrontendConfig(
+        feature_type=ft, num_mel_bins=40, dither=0.0, **extra
+    )
+    fe = FeatureExtractor(cfg)
+    ref, _ = fe(waves)
+    fe.use_fused = True
+    with pltpu.force_tpu_interpret_mode():
+        fused, lens = fe(waves, lengths=jnp.full((4,), 20800))
+    assert fused.shape == ref.shape
+    # both paths are bf16_3x (HIGH) matmul chains, but with different
+    # accumulation orders; 5e-3 abs on ~1e2-magnitude features is the
+    # shared error envelope (~1e-5 relative)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-4
+    )
+    assert int(lens[0]) == ref.shape[1]
+
+
+def test_fused_frontend_fallbacks():
+    """Ineligible shapes return None from fused_fbank and the
+    extractor silently falls back to the XLA path."""
+    from wekws_tpu.frontend.features import FeatureExtractor
+    from wekws_tpu.frontend.kaldi import FrontendConfig
+    from wekws_tpu.ops.fused_frontend import fused_fbank
+
+    cfg = FrontendConfig(feature_type="fbank", num_mel_bins=40, dither=0.0)
+    fe = FeatureExtractor(cfg)
+    # shorter than one frame -> kernel ineligible
+    assert (
+        fused_fbank(
+            jnp.zeros((2, 100)), fe._analysis, fe._mel_t, None,
+            frame_length=cfg.frame_length, frame_shift=cfg.frame_shift,
+        )
+        is None
+    )
+    fe.use_fused = True
+    feats, _ = fe(jnp.zeros((2, 100), jnp.float32))
+    assert feats.shape[1] == 0  # XLA fallback's empty-frame contract

@@ -103,6 +103,7 @@ class DeviceFeaturePipeline:
             extractor = FeatureExtractor(
                 dataclasses.replace(extractor.cfg, dither=0.0)
             )
+        extractor.use_fused = bool(conf.get("fused_frontend", False))
         left = right = 0
         if conf.get("context_expansion", False):
             ce = conf.get("context_expansion_conf", {})

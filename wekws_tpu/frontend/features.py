@@ -111,6 +111,12 @@ class FeatureExtractor:
         if cfg.remove_dc_offset:
             analysis = analysis - np.mean(analysis, axis=0, keepdims=True)
         self._analysis = jnp.asarray(analysis, jnp.float32)
+        # Opt-in fused Pallas frontend (ops/fused_frontend.py): same
+        # operators and precision, spectrum/power/dither kept in VMEM.
+        # Measured SLOWER than this XLA path on v5e (PERF.md round 2)
+        # — off by default; enable per-pipeline via dataset_conf
+        # ``fused_frontend: true`` (TPU only) to re-evaluate.
+        self.use_fused = False
         bank = mel_banks(
             cfg.num_mel_bins, n, cfg.sample_rate, cfg.low_freq, cfg.high_freq
         )
@@ -135,6 +141,31 @@ class FeatureExtractor:
             0,
         )
 
+    def _fused_call(self, waves, dither_rng):
+        """Pallas fused path (ops/fused_frontend.py); None = fall back."""
+        from wekws_tpu.ops.fused_frontend import fused_fbank
+
+        cfg = self.cfg
+        dither = cfg.dither if dither_rng is not None else 0.0
+        seed = None
+        if dither:
+            seed = jax.random.bits(dither_rng, (), "uint32").astype(
+                jnp.int32
+            )
+        return fused_fbank(
+            waves,
+            self._analysis,
+            self._mel_t,
+            self._dct,
+            frame_length=cfg.frame_length,
+            frame_shift=cfg.frame_shift,
+            dither=float(dither),
+            seed=seed,
+            use_power=cfg.use_power,
+            use_log=cfg.use_log_fbank,
+            epsilon=EPSILON,
+        )
+
     def __call__(
         self,
         waves: jnp.ndarray,
@@ -152,6 +183,14 @@ class FeatureExtractor:
             waves = waves + cfg.dither * jax.random.normal(
                 rng, waves.shape, jnp.float32
             )
+
+        if self.use_fused:
+            mel = self._fused_call(waves, rng if frame_dither else None)
+            if mel is not None:
+                lengths_out = (
+                    None if lengths is None else self.num_frames(lengths)
+                )
+                return mel, lengths_out
 
         # Frontend numerics are the training/runtime contract. HIGH
         # (bf16_3x) keeps the DFT/mel matmuls at ~1e-5 relative error;

@@ -174,6 +174,7 @@ def init_model(configs: dict) -> KWSModel:
             kernel_size=bconf["kernel_size"],
             causal=bconf["causal"],
             dtype=compute_dtype,
+            remat=bool(bconf.get("remat", False)),
         )
     elif backbone_type == "fsmn":
         backbone = FSMN(

@@ -119,6 +119,13 @@ class MDTC(nn.Module):
     kernel_size: int
     causal: bool = True
     dtype: Optional[jnp.dtype] = None
+    # Rematerialize each block in the backward pass: only block
+    # INPUTS are saved as residuals; the dw-conv/BN/relu/pointwise
+    # internals are recomputed from them during grad.  Trades ~2x
+    # block-forward compute (VPU/MXU, cheap here) for most of the
+    # backward's activation HBM traffic (the measured bottleneck,
+    # PERF.md roofline).  Numerically identical to remat=False.
+    remat: bool = False
 
     def setup(self):
         assert self.kernel_size % 2 == 1
@@ -158,8 +165,17 @@ class MDTC(nn.Module):
             # whole-utterance path: zero left context via implicit conv
             # padding inside each block (no cache tensors materialized)
             cache = (None,) * len(self.block_specs)
+        block_cls = TCNBlock
+        if self.remat:
+            import jax
+
+            block_cls = nn.remat(
+                TCNBlock,
+                policy=jax.checkpoint_policies.nothing_saveable,
+                static_argnums=(3,),  # train flag
+            )
         new_caches = []
-        y, c = TCNBlock(
+        y, c = block_cls(
             self.in_channels, self.res_channels, self.kernel_size, 1,
             dtype=self.dtype, name="preprocessor",
         )(x, cache[0], train)
@@ -169,7 +185,7 @@ class MDTC(nn.Module):
         idx = 1
         for s in range(self.stack_num):
             for i in range(self.stack_size):
-                y, c = TCNBlock(
+                y, c = block_cls(
                     self.res_channels,
                     self.res_channels,
                     self.kernel_size,
