@@ -111,6 +111,41 @@ class TestBackbones:
         # preprocessor 4 + 4 stacks * 4*(1+2+4+8) = 4 + 240
         assert mdtc.padding == 4 + 4 * 4 * 15
 
+    def test_mdtc_remat_is_numerically_identical(self):
+        """remat=True recomputes block internals in the backward but
+        must give bit-identical outputs and matching gradients."""
+        kw = dict(
+            stack_num=2, stack_size=2, in_channels=16, res_channels=16,
+            kernel_size=5,
+        )
+        x = rand(7, 2, 40, 16)
+        base = MDTC(**kw)
+        variables = base.init(jax.random.PRNGKey(8), x, train=True)
+        rem = MDTC(**kw, remat=True)
+
+        def loss(model, v):
+            def f(params):
+                (y, _), _ = model.apply(
+                    {"params": params,
+                     "batch_stats": v["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                )
+                return jnp.sum(y ** 2)
+
+            return jax.value_and_grad(f)(v["params"])
+
+        l0, g0 = loss(base, variables)
+        l1, g1 = loss(rem, variables)
+        # remat changes XLA's fusion/scheduling, so float32 round-off
+        # can differ in the last ulps; semantics must match
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b_ in zip(
+            jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-4
+            )
+
     def test_gru_matches_reference_equations(self):
         """One GRU step equals the torch gate equations computed by hand."""
         model = GRU(hidden_dim=8, num_layers=1)

@@ -3,7 +3,10 @@
 Measures the steady-state per-chunk latency of the streaming step
 (the KeyWordSpotter hot loop) for the MDTC flagship and an FSMN
 config, at typical serving batch sizes.  Queued timing (N calls, one
-block) — see PERF.md round 2 on tunnel RTT.
+block) — see PERF.md round 2 on tunnel RTT.  Iterations round-robin a
+pool of DISTINCT pre-committed input buffers: the tunnel elides
+repeated identical dispatches (PERF.md round 2 methodology note), so
+fixed-input timings are invalid.
 
 Usage: python tools/bench_serving.py [--chunk 8] [--iters 50]
 Prints one JSON line per (model, path, batch).
@@ -14,15 +17,14 @@ import json
 import time
 
 
-def queued_ms(fn, args, iters):
+def queued_ms(fn, args_list, iters):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    for a in args_list[:2]:
+        jax.block_until_ready(jax.tree_util.tree_leaves(fn(*a))[0])
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    outs = [fn(*args_list[i % len(args_list)]) for i in range(iters)]
+    jax.block_until_ready([jax.tree_util.tree_leaves(o)[0] for o in outs])
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -81,12 +83,21 @@ def main():
             return model.apply(variables, feats, cache=cache)
 
         for b in args.batches:
-            feats = jax.random.normal(
-                jax.random.PRNGKey(2), (b, args.chunk, cfg["input_dim"])
+            pool = [
+                jax.random.normal(
+                    jax.random.PRNGKey(100 + i),
+                    (b, args.chunk, cfg["input_dim"]),
+                )
+                for i in range(8)
+            ]
+            c0 = init_cache(b)
+            fused_ms = queued_ms(
+                step, [(f, c0) for f in pool], args.iters
             )
-            fused_ms = queued_ms(step, (feats, init_cache(b)), args.iters)
             flax_cache = model.init_cache(b)
-            xla_ms = queued_ms(xla_step, (feats, flax_cache), args.iters)
+            xla_ms = queued_ms(
+                xla_step, [(f, flax_cache) for f in pool], args.iters
+            )
             print(json.dumps({
                 "model": name, "batch": b, "chunk": args.chunk,
                 "fused_ms": round(fused_ms, 3),
