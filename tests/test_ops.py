@@ -295,9 +295,9 @@ def test_fused_frontend_matches_xla(ft, extra):
     )
     fe = FeatureExtractor(cfg)
     ref, _ = fe(waves)
-    fe.use_fused = True
+    fe_fused = FeatureExtractor(cfg, use_fused=True)
     with pltpu.force_tpu_interpret_mode():
-        fused, lens = fe(waves, lengths=jnp.full((4,), 20800))
+        fused, lens = fe_fused(waves, lengths=jnp.full((4,), 20800))
     assert fused.shape == ref.shape
     # both paths are bf16_3x (HIGH) matmul chains, but with different
     # accumulation orders; 5e-3 abs on ~1e2-magnitude features is the
@@ -316,15 +316,26 @@ def test_fused_frontend_fallbacks():
     from wekws_tpu.ops.fused_frontend import fused_fbank
 
     cfg = FrontendConfig(feature_type="fbank", num_mel_bins=40, dither=0.0)
-    fe = FeatureExtractor(cfg)
+    fe = FeatureExtractor(cfg, use_fused=True)
     # shorter than one frame -> kernel ineligible
+    with pltpu.force_tpu_interpret_mode():
+        assert (
+            fused_fbank(
+                jnp.zeros((2, 100)), fe._analysis, fe._mel_t, None,
+                frame_length=cfg.frame_length,
+                frame_shift=cfg.frame_shift,
+            )
+            is None
+        )
+        feats, _ = fe(jnp.zeros((2, 100), jnp.float32))
+    assert feats.shape[1] == 0  # XLA fallback's empty-frame contract
+    # non-TPU backend without forced interpret mode -> silent fallback
     assert (
         fused_fbank(
-            jnp.zeros((2, 100)), fe._analysis, fe._mel_t, None,
+            jnp.zeros((2, 32000)), fe._analysis, fe._mel_t, None,
             frame_length=cfg.frame_length, frame_shift=cfg.frame_shift,
         )
         is None
     )
-    fe.use_fused = True
-    feats, _ = fe(jnp.zeros((2, 100), jnp.float32))
-    assert feats.shape[1] == 0  # XLA fallback's empty-frame contract
+    feats, _ = fe(jnp.zeros((2, 32000), jnp.float32))
+    assert feats.shape == (2, 198, 40)  # XLA path ran

@@ -93,7 +93,8 @@ class DeviceFeaturePipeline:
 
     @classmethod
     def from_conf(cls, conf: dict, training: bool = True):
-        extractor = frontend_from_dataset_conf(conf)
+        fused = bool(conf.get("fused_frontend", False))
+        extractor = frontend_from_dataset_conf(conf, use_fused=fused)
         sa = None
         if training and conf.get("spec_aug", False):
             sa = dict(conf.get("spec_aug_conf", {}))
@@ -101,9 +102,9 @@ class DeviceFeaturePipeline:
             import dataclasses
 
             extractor = FeatureExtractor(
-                dataclasses.replace(extractor.cfg, dither=0.0)
+                dataclasses.replace(extractor.cfg, dither=0.0),
+                use_fused=fused,
             )
-        extractor.use_fused = bool(conf.get("fused_frontend", False))
         left = right = 0
         if conf.get("context_expansion", False):
             ce = conf.get("context_expansion_conf", {})

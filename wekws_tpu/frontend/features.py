@@ -85,7 +85,7 @@ class FeatureExtractor:
     downstream (losses and classifiers here all take lengths).
     """
 
-    def __init__(self, cfg: FrontendConfig):
+    def __init__(self, cfg: FrontendConfig, use_fused: bool = False):
         if cfg.feature_type not in ("fbank", "mfcc"):
             raise ValueError(f"unknown feature_type {cfg.feature_type}")
         if not cfg.snip_edges:
@@ -115,8 +115,11 @@ class FeatureExtractor:
         # operators and precision, spectrum/power/dither kept in VMEM.
         # Measured SLOWER than this XLA path on v5e (PERF.md round 2)
         # — off by default; enable per-pipeline via dataset_conf
-        # ``fused_frontend: true`` (TPU only) to re-evaluate.
-        self.use_fused = False
+        # ``fused_frontend: true`` to re-evaluate (non-TPU backends
+        # silently fall back).  Set at construction: the extractor is
+        # closed over jit as an identity-hashed static, so mutating
+        # the flag after a trace would NOT retrace.
+        self.use_fused = use_fused
         bank = mel_banks(
             cfg.num_mel_bins, n, cfg.sample_rate, cfg.low_freq, cfg.high_freq
         )
@@ -231,7 +234,9 @@ class FeatureExtractor:
         return mel, feat_lengths
 
 
-def frontend_from_dataset_conf(conf: dict) -> FeatureExtractor:
+def frontend_from_dataset_conf(
+    conf: dict, use_fused: bool = False
+) -> FeatureExtractor:
     """Build a FeatureExtractor from a wekws-style ``dataset_conf`` dict.
 
     Supports both config schemas of the reference: the legacy
@@ -255,4 +260,4 @@ def frontend_from_dataset_conf(conf: dict) -> FeatureExtractor:
         dither=fc.get("dither", 0.0),
         dither_mode=fc.get("dither_mode", "frame"),
     )
-    return FeatureExtractor(cfg)
+    return FeatureExtractor(cfg, use_fused=use_fused)

@@ -54,6 +54,19 @@ _LANE = 128
 _SUBLANE = 8
 
 
+def _interpret_forced() -> bool:
+    """True inside ``pltpu.force_tpu_interpret_mode()`` (CPU tests)."""
+    try:
+        from jax._src import config as jax_config
+
+        return (
+            jax_config.pallas_tpu_interpret_mode_context_manager.value
+            is not None
+        )
+    except Exception:
+        return False
+
+
 def _normal(shape):
     """iid N(0,1) from the seeded TPU PRNG (Box-Muller).
 
@@ -98,10 +111,14 @@ def _dot3(a_hi, a_lo, b_hi, b_lo):
 def _fbank_kernel(
     seed_ref,
     frames_ref,
-    are_ref,
-    aim_ref,
-    mel_ref,
-    dct_ref,
+    are_hi_ref,
+    are_lo_ref,
+    aim_hi_ref,
+    aim_lo_ref,
+    mel_hi_ref,
+    mel_lo_ref,
+    dct_hi_ref,
+    dct_lo_ref,
     out_ref,
     *,
     dither: float,
@@ -110,22 +127,25 @@ def _fbank_kernel(
     has_dct: bool,
     epsilon: float,
 ):
+    # weight operands arrive pre-split into bf16 hi/lo halves (they
+    # are grid-invariant; splitting in-kernel would redo the casts
+    # every grid step)
     if dither > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     frames = frames_ref[:]
     if dither > 0.0:
         frames = frames + dither * _normal(frames.shape)
     f_hi, f_lo = _split(frames)
-    sre = _dot3(f_hi, f_lo, *_split(are_ref[:]))
-    sim = _dot3(f_hi, f_lo, *_split(aim_ref[:]))
+    sre = _dot3(f_hi, f_lo, are_hi_ref[:], are_lo_ref[:])
+    sim = _dot3(f_hi, f_lo, aim_hi_ref[:], aim_lo_ref[:])
     power = sre * sre + sim * sim
     if not use_power:
         power = jnp.sqrt(power)
-    mel = _dot3(*_split(power), *_split(mel_ref[:]))
+    mel = _dot3(*_split(power), mel_hi_ref[:], mel_lo_ref[:])
     if use_log:
         mel = jnp.log(jnp.maximum(mel, epsilon))
     if has_dct:
-        mel = _dot3(*_split(mel), *_split(dct_ref[:]))
+        mel = _dot3(*_split(mel), dct_hi_ref[:], dct_lo_ref[:])
     out_ref[:] = mel
 
 
@@ -145,13 +165,16 @@ def _vmem_estimate(
     power = br * nbin_p * (4 + 2 + 2)
     out = br * mel_p * 4
     fl8 = _roundup(frame_length, _SUBLANE)
-    weights = 2 * fl8 * nbin_p * (4 + 2 + 2) + nbin_p * mel_p * (4 + 2 + 2)
+    # weights live in VMEM as pre-split bf16 hi/lo halves only
+    weights = 2 * fl8 * nbin_p * (2 + 2) + nbin_p * mel_p * (2 + 2)
     return frames + spec + power + out + weights
 
 
 def _pick_block_rows(rows, frame_length, nbin, mel_dim, vmem_budget):
-    """Largest row-block fitting the budget; prefers a divisor of
-    ``rows`` (no padded tail block) among the candidates."""
+    """Largest row-block fitting the budget.  A divisor of ``rows``
+    (no padded tail block) is preferred only if it is at least half
+    the largest fitting block — a small divisor multiplies the grid
+    step count, which costs more than a <=1-block pad."""
     cands = [c for c in (1024, 512, 256, 128, 64) if c <= rows]
     fitting = [
         c for c in cands
@@ -160,7 +183,7 @@ def _pick_block_rows(rows, frame_length, nbin, mel_dim, vmem_budget):
     if not fitting:
         return None
     for c in fitting:
-        if rows % c == 0:
+        if rows % c == 0 and 2 * c >= fitting[0]:
             return c
     return fitting[0]
 
@@ -189,6 +212,13 @@ def fused_fbank(
     """
     from wekws_tpu.frontend.features import frame_waveform
 
+    # TPU-only primitives (Mosaic grid spec, in-kernel PRNG): on any
+    # other backend return None so the caller's XLA path runs —
+    # unless interpret mode is forced (the CPU test path).
+    platform = jax.devices()[0].platform
+    if platform not in ("tpu", "axon") and not _interpret_forced():
+        return None
+
     b, s = waves.shape
     if s < frame_length:
         return None
@@ -211,8 +241,6 @@ def fused_fbank(
     if rows_pad != rows:
         frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
 
-    a_re = analysis[:, :nbin]
-    a_im = analysis[:, nbin:]
     if dct_t is None:
         # dummy 2-D operand keeps one kernel signature; never read
         dct_in = jnp.zeros((8, 128), jnp.float32)
@@ -221,6 +249,19 @@ def fused_fbank(
     if seed is None:
         seed = jnp.zeros((), jnp.int32)
     seed = jnp.reshape(seed.astype(jnp.int32), (1,))
+
+    def split(m):
+        h = m.astype(jnp.bfloat16)
+        return h, (m - h.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    # grid-invariant weights: bf16_3x hi/lo halves computed ONCE here
+    # (in-kernel splits would redo the casts every grid step)
+    weights = (
+        *split(analysis[:, :nbin]),   # are hi/lo
+        *split(analysis[:, nbin:]),   # aim hi/lo
+        *split(mel_t),                # mel hi/lo
+        *split(dct_in),               # dct hi/lo
+    )
 
     kernel = functools.partial(
         _fbank_kernel,
@@ -241,22 +282,12 @@ def fused_fbank(
                     (br, frame_length), lambda i, s_ref: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
+            ] + [
                 pl.BlockSpec(
-                    (analysis.shape[0], nbin), lambda i, s_ref: (0, 0),
+                    w.shape, lambda i, s_ref: (0, 0),
                     memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (analysis.shape[0], nbin), lambda i, s_ref: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    mel_t.shape, lambda i, s_ref: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    dct_in.shape, lambda i, s_ref: (0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                )
+                for w in weights
             ],
             out_specs=pl.BlockSpec(
                 (br, mel_dim), lambda i, s_ref: (i, 0),
@@ -266,5 +297,5 @@ def fused_fbank(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=2 * vmem_budget + 8 * 1024 * 1024,
         ),
-    )(seed, frames, a_re, a_im, mel_t, dct_in)
+    )(seed, frames, *weights)
     return out[:rows].reshape(b, t, mel_dim)
