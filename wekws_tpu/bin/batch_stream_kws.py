@@ -30,6 +30,9 @@ def get_args():
     parser.add_argument("--wav_paths", nargs="+", required=True)
     parser.add_argument("--streams", type=int, default=None,
                         help="stream slots (default: one per wav)")
+    parser.add_argument("--repeat", type=int, default=1,
+                        help="loop each wav N times per stream "
+                             "(longer feeds for load testing)")
     parser.add_argument("--threshold", type=float, default=0.02)
     parser.add_argument("--min_frames", type=int, default=5)
     parser.add_argument("--max_frames", type=int, default=250)
@@ -65,7 +68,8 @@ def main():
     sr = None
     for i in range(n):
         wave, sr = read_wav(args.wav_paths[i % len(args.wav_paths)])
-        pcms.append((np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes())
+        pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+        pcms.append(pcm * max(args.repeat, 1))
     chunk_bytes = 2 * int(sr * args.chunk_ms / 1000)
 
     def report(results):
