@@ -284,3 +284,85 @@ class TestDeviceStreamFSM:
         host = run_host(probs, chunk=8)
         compare(dev, host, 1)
         assert not any(d["fired"][0] for d in dev)
+
+
+class TestBatchSpotterDeviceDecode:
+    """BatchKeywordSpotter(device_decode=True) must reproduce the
+    host-decode engine's detections end-to-end (frontend -> model ->
+    beam -> FSM), including staggered arrival and slot resets."""
+
+    def _make(self, spotter_setup, device_decode, n=3):
+        from wekws_tpu.runtime import BatchKeywordSpotter
+
+        ckpt, config, tokens = spotter_setup
+        eng = BatchKeywordSpotter(
+            ckpt, config, tokens, None, threshold=0.05,
+            num_streams=n, step_frames=8, min_frames=1,
+        ) if not device_decode else BatchKeywordSpotter(
+            ckpt, config, tokens, None, threshold=0.05,
+            num_streams=n, step_frames=8, min_frames=1,
+            device_decode=True,
+        )
+        eng.set_keywords("hi,hx")
+        return eng
+
+    def _drive(self, eng, waves, reset_at=None):
+        detections = []
+        offsets = [0] * len(waves)
+        chunk = [4800, 9600, 3200]
+        rounds = 0
+        while any(offsets[i] < len(waves[i]) for i in range(len(waves))):
+            for i in range(len(waves)):
+                if offsets[i] < len(waves[i]):
+                    eng.accept_wave(
+                        i, waves[i][offsets[i] : offsets[i] + chunk[i]]
+                    )
+                    offsets[i] += chunk[i]
+            while True:
+                results = eng.step()
+                if not results:
+                    break
+                for i, r in results.items():
+                    if r and r.get("state") == 1:
+                        detections.append(
+                            (i, r["keyword"], round(r["start"], 2),
+                             round(r["end"], 2), round(r["score"], 3))
+                        )
+            rounds += 1
+            if reset_at is not None and rounds == reset_at:
+                eng.reset_stream(0)
+        for i, r in eng.flush().items():
+            if r and r.get("state") == 1:
+                detections.append(
+                    (i, r["keyword"], round(r["start"], 2),
+                     round(r["end"], 2), round(r["score"], 3))
+                )
+        return sorted(detections)
+
+    @pytest.mark.parametrize("reset_at", [None, 2])
+    def test_matches_host_decode(self, spotter_setup, rng, reset_at):
+        waves = [
+            (rng.standard_normal(24000) * 3000).astype("<i2").tobytes()
+            for _ in range(3)
+        ]
+        host_eng = self._make(spotter_setup, device_decode=False)
+        dev_eng = self._make(spotter_setup, device_decode=True)
+        host_det = self._drive(host_eng, waves, reset_at)
+        dev_det = self._drive(dev_eng, waves, reset_at)
+        # scores can drift on merged noise paths (documented); compare
+        # decisions and timestamps strictly, scores loosely
+        assert [d[:4] for d in dev_det] == [d[:4] for d in host_det]
+        for d, h in zip(dev_det, host_det):
+            np.testing.assert_allclose(d[4], h[4], rtol=0.35, atol=0.02)
+
+    def test_requires_keywords(self, spotter_setup):
+        from wekws_tpu.runtime import BatchKeywordSpotter
+
+        ckpt, config, tokens = spotter_setup
+        eng = BatchKeywordSpotter(
+            ckpt, config, tokens, None, threshold=0.5,
+            num_streams=1, step_frames=4, device_decode=True,
+        )
+        eng.accept_wave(0, np.zeros(8000, "<i2").tobytes())
+        with pytest.raises(RuntimeError, match="set_keywords"):
+            eng.step()

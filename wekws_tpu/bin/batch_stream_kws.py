@@ -41,6 +41,9 @@ def get_args():
     parser.add_argument("--path_beam", type=int, default=20)
     parser.add_argument("--step_frames", type=int, default=8)
     parser.add_argument("--chunk_ms", type=int, default=300)
+    parser.add_argument("--device_decode", action="store_true",
+                        help="run beam + detection FSM inside the jitted "
+                             "step (one dispatch per step, no host beams)")
     return parser.parse_args()
 
 
@@ -61,6 +64,7 @@ def main():
         min_frames=args.min_frames, max_frames=args.max_frames,
         interval_frames=args.interval_frames,
         score_beam=args.score_beam, path_beam=args.path_beam,
+        device_decode=args.device_decode,
     )
     spotter.set_keywords(args.keywords)
 

@@ -166,6 +166,7 @@ def stream_detect_step(
     downsampling: int = 1,
     score_beam: int = 3,
     prob_threshold: float = 0.05,
+    unroll: int = 1,
 ):
     """Advance every stream's beam+FSM over one chunk of posteriors.
 
@@ -258,7 +259,8 @@ def stream_detect_step(
         jnp.arange(t_len, dtype=jnp.int32),
     )
     (state, _done, events), _ = jax.lax.scan(
-        frame, (state, jnp.zeros((b,), bool), ev0), xs
+        frame, (state, jnp.zeros((b,), bool), ev0), xs,
+        unroll=min(unroll, t_len),
     )
 
     # stale-keyword reset at chunk end (host: process() tail).

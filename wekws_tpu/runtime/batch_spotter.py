@@ -31,6 +31,18 @@ Correctness under batching:
 Detection activation resets only the beam (reference semantics,
 stream_kws_ctc.py:495-501) — the conv cache intentionally carries
 across an activation, exactly like the single-stream engine.
+
+Two decode modes:
+
+* host (default): per-stream Python `StreamDetector` beams — exact
+  single-stream semantics, but the host beams bound scaling (~256
+  streams, PERF.md).
+* ``device_decode=True``: the beam + detection FSM run INSIDE the same
+  jitted program as the model (decode/device_stream.py) — the whole
+  hot loop is one dispatch and the host only reads a (N,)-shaped event
+  struct per step. Decisions/timestamps match the host FSM exactly
+  (tests/test_device_stream.py); activation scores on merged noise
+  paths can drift per the documented node-track approximation.
 """
 
 from typing import Dict, List, Optional
@@ -62,6 +74,9 @@ class BatchKeywordSpotter:
         interval_frames: int = 50,
         score_beam: int = 3,
         path_beam: int = 20,
+        device_decode: bool = False,
+        max_prefix: int = 32,
+        decode_unroll: int = 1,
     ):
         import jax
         import jax.numpy as jnp
@@ -69,6 +84,7 @@ class BatchKeywordSpotter:
         assert num_streams >= 1 and step_frames >= 1
         self.num_streams = num_streams
         self.step_frames = step_frames
+        self.device_decode = device_decode
 
         configs, cfg, left, right, downsampling = load_spotter_config(
             config_path
@@ -101,6 +117,56 @@ class BatchKeywordSpotter:
             return probs, out_cache
 
         self._step_jit = jax.jit(step_fn)
+
+        self._fsm = dict(
+            threshold=float(threshold),
+            min_frames=int(min_frames),
+            max_frames=int(max_frames),
+            interval_frames=int(interval_frames),
+            downsampling=int(downsampling),
+            score_beam=int(score_beam),
+            unroll=int(decode_unroll),
+        )
+        self._path_beam = path_beam
+        self._max_prefix = max_prefix
+        self._vocab = int(configs["model"]["output_dim"])
+        self._kw_arrays = None
+        self._kw_names: List[str] = []
+        self._dstate = None
+        self._combined_jit = None
+        if device_decode:
+            from wekws_tpu.decode.device_stream import (
+                init_stream_state,
+                stream_detect_step,
+            )
+
+            self._dstate = init_stream_state(
+                num_streams, path_beam, max_prefix
+            )
+
+            def combined_fn(
+                feats, active, reset, t0, cache, dstate,
+                kw_tok, kw_len, tokenset_mask,
+            ):
+                probs, out_cache = step_fn(feats, active, reset, cache)
+                dstate, events = stream_detect_step(
+                    dstate, probs, active, reset, t0,
+                    kw_tok, kw_len, tokenset_mask, **self._fsm,
+                )
+                # one (5, N) f32 transfer per step — fetching the five
+                # event arrays separately costs ~5 tunnel RTTs/step,
+                # which dominated the whole step (PERF.md). Frame
+                # indices are < 2^24, exact in f32.
+                packed = jnp.stack([
+                    events["fired"].astype(jnp.float32),
+                    events["kw"].astype(jnp.float32),
+                    events["start"].astype(jnp.float32),
+                    events["end"].astype(jnp.float32),
+                    events["score"],
+                ])
+                return out_cache, dstate, packed
+
+            self._combined_jit = jax.jit(combined_fn)
 
         self.token_table = read_token(token_path)
         self.lexicon_table = (
@@ -136,6 +202,14 @@ class BatchKeywordSpotter:
         )
         for det in self.detectors:
             det.set_tables(*tables)
+        if self.device_decode:
+            from wekws_tpu.decode.device_stream import make_keyword_arrays
+
+            kw_tok, kw_len, mask, names = make_keyword_arrays(
+                tables[0], self._vocab
+            )
+            self._kw_arrays = (kw_tok, kw_len, mask)
+            self._kw_names = names
 
     # ------------- streaming -------------
 
@@ -198,6 +272,9 @@ class BatchKeywordSpotter:
         reset = self._reset_mask.copy()
         self._reset_mask[:] = False
 
+        if self.device_decode:
+            return self._run_device(ready, t, feats, active, reset)
+
         probs, self.cache = self._step_jit(feats, active, reset, self.cache)
         probs = np.asarray(jax.device_get(probs))
 
@@ -207,6 +284,46 @@ class BatchKeywordSpotter:
             self._pending_feats[i] = self._pending_feats[i][t:]
             self._pending_idx[i] = self._pending_idx[i][t:]
             results[i] = self.detectors[i].process(idx, probs[i])
+        return results
+
+    def _run_device(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
+        """One dispatch: model + beam + FSM on device; the host only
+        consumes the (N,)-shaped activation events."""
+        import jax
+
+        if self._kw_arrays is None:
+            raise RuntimeError(
+                "device_decode requires set_keywords() before step()"
+            )
+        n = self.num_streams
+        t0 = np.zeros((n,), np.int32)
+        for i in ready:
+            t0[i] = self._pending_idx[i][0]
+        kw_tok, kw_len, mask = self._kw_arrays
+        self.cache, self._dstate, packed = self._combined_jit(
+            feats, active, reset, t0, self.cache, self._dstate,
+            kw_tok, kw_len, mask,
+        )
+        ev = np.asarray(jax.device_get(packed))  # (5, N), one transfer
+
+        results: Dict[int, Dict] = {}
+        res = self.resolution
+        for i in ready:
+            self._pending_feats[i] = self._pending_feats[i][t:]
+            self._pending_idx[i] = self._pending_idx[i][t:]
+            if ev[0, i]:
+                results[i] = {
+                    "state": 1,
+                    "keyword": self._kw_names[int(ev[1, i])],
+                    "start": float(ev[2, i]) * res,
+                    "end": float(ev[3, i]) * res,
+                    "score": float(ev[4, i]),
+                }
+            else:
+                results[i] = {
+                    "state": 0, "keyword": None, "start": None,
+                    "end": None, "score": None,
+                }
         return results
 
     # ------------- state -------------
