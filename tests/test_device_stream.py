@@ -366,3 +366,75 @@ class TestBatchSpotterDeviceDecode:
         eng.accept_wave(0, np.zeros(8000, "<i2").tobytes())
         with pytest.raises(RuntimeError, match="set_keywords"):
             eng.step()
+
+
+class TestMeshShardedServing:
+    """Stream-axis sharding over a device mesh: the serving step is
+    per-row, so sharded and single-device engines must be bit-equal."""
+
+    def _detections(self, eng, waves):
+        out = []
+        offsets = [0] * len(waves)
+        while any(offsets[i] < len(waves[i]) for i in range(len(waves))):
+            for i in range(len(waves)):
+                if offsets[i] < len(waves[i]):
+                    eng.accept_wave(i, waves[i][offsets[i] : offsets[i] + 6400])
+                    offsets[i] += 6400
+            while True:
+                results = eng.step()
+                if not results:
+                    break
+                for i, r in results.items():
+                    if r and r.get("state") == 1:
+                        out.append((i, r["keyword"], round(r["start"], 2),
+                                    round(r["end"], 2)))
+        for i, r in eng.flush().items():
+            if r and r.get("state") == 1:
+                out.append((i, r["keyword"], round(r["start"], 2),
+                            round(r["end"], 2)))
+        return sorted(out)
+
+    @pytest.mark.parametrize("device_decode", [False, True])
+    def test_sharded_matches_single_device(
+        self, spotter_setup, rng, device_decode
+    ):
+        import jax
+        from jax.sharding import Mesh
+
+        from wekws_tpu.runtime import BatchKeywordSpotter
+
+        assert len(jax.devices()) >= 8  # conftest forces the CPU mesh
+        mesh = Mesh(np.array(jax.devices()[:8]), ("streams",))
+        ckpt, config, tokens = spotter_setup
+        waves = [
+            (rng.standard_normal(19200) * 3000).astype("<i2").tobytes()
+            for _ in range(8)
+        ]
+
+        def build(m):
+            eng = BatchKeywordSpotter(
+                ckpt, config, tokens, None, threshold=0.05,
+                num_streams=8, step_frames=8, min_frames=1,
+                device_decode=device_decode, mesh=m,
+            )
+            eng.set_keywords("hi,hx")
+            return eng
+
+        base = self._detections(build(None), waves)
+        sharded = self._detections(build(mesh), waves)
+        assert sharded == base
+        assert base  # the random audio actually triggers something
+
+    def test_stream_count_must_divide(self, spotter_setup):
+        import jax
+        from jax.sharding import Mesh
+
+        from wekws_tpu.runtime import BatchKeywordSpotter
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("streams",))
+        ckpt, config, tokens = spotter_setup
+        with pytest.raises(AssertionError, match="multiple of the mesh"):
+            BatchKeywordSpotter(
+                ckpt, config, tokens, None, threshold=0.5,
+                num_streams=6, mesh=mesh,
+            )

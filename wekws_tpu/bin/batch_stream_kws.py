@@ -44,6 +44,9 @@ def get_args():
     parser.add_argument("--device_decode", action="store_true",
                         help="run beam + detection FSM inside the jitted "
                              "step (one dispatch per step, no host beams)")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="shard the stream axis over the first N "
+                             "devices (0 = single device)")
     return parser.parse_args()
 
 
@@ -58,13 +61,21 @@ def main():
     from wekws_tpu.runtime import BatchKeywordSpotter
 
     n = args.streams or len(args.wav_paths)
+    mesh = None
+    if args.mesh_devices:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(
+            np.asarray(jax.devices()[: args.mesh_devices]), ("streams",)
+        )
     spotter = BatchKeywordSpotter(
         args.checkpoint, args.config, args.token_file, args.lexicon_file,
         args.threshold, num_streams=n, step_frames=args.step_frames,
         min_frames=args.min_frames, max_frames=args.max_frames,
         interval_frames=args.interval_frames,
         score_beam=args.score_beam, path_beam=args.path_beam,
-        device_decode=args.device_decode,
+        device_decode=args.device_decode, mesh=mesh,
     )
     spotter.set_keywords(args.keywords)
 

@@ -77,7 +77,12 @@ class BatchKeywordSpotter:
         device_decode: bool = False,
         max_prefix: int = 32,
         decode_unroll: int = 1,
+        mesh=None,
     ):
+        """mesh: optional 1-D jax.sharding.Mesh — shards the stream
+        axis across devices (every op in the serving step is per-row,
+        so XLA partitions it without collectives; params replicate).
+        num_streams must divide evenly by the mesh size."""
         import jax
         import jax.numpy as jnp
 
@@ -85,6 +90,18 @@ class BatchKeywordSpotter:
         self.num_streams = num_streams
         self.step_frames = step_frames
         self.device_decode = device_decode
+        row_s = rep_s = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            assert num_streams % mesh.devices.size == 0, (
+                "num_streams must be a multiple of the mesh size"
+            )
+            row_s = NamedSharding(mesh, P(axis))
+            rep_s = NamedSharding(mesh, P())
+            self._events_s = NamedSharding(mesh, P(None, axis))
+        self._mesh = mesh
 
         configs, cfg, left, right, downsampling = load_spotter_config(
             config_path
@@ -116,7 +133,15 @@ class BatchKeywordSpotter:
             )
             return probs, out_cache
 
-        self._step_jit = jax.jit(step_fn)
+        if mesh is None:
+            self._step_jit = jax.jit(step_fn)
+        else:
+            self._step_jit = jax.jit(
+                step_fn,
+                in_shardings=(row_s, row_s, row_s, row_s),
+                out_shardings=(row_s, row_s),
+            )
+            self._variables = jax.device_put(self._variables, rep_s)
 
         self._fsm = dict(
             threshold=float(threshold),
@@ -166,7 +191,18 @@ class BatchKeywordSpotter:
                 ])
                 return out_cache, dstate, packed
 
-            self._combined_jit = jax.jit(combined_fn)
+            if mesh is None:
+                self._combined_jit = jax.jit(combined_fn)
+            else:
+                self._combined_jit = jax.jit(
+                    combined_fn,
+                    in_shardings=(
+                        row_s, row_s, row_s, row_s,  # feats/active/reset/t0
+                        row_s, row_s,                # cache, decode state
+                        rep_s, rep_s, rep_s,         # keyword tables
+                    ),
+                    out_shardings=(row_s, row_s, self._events_s),
+                )
 
         self.token_table = read_token(token_path)
         self.lexicon_table = (
