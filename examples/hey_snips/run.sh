@@ -4,6 +4,8 @@
 # -> score -> DET.  Usage: ./run.sh <stage> <stop_stage>
 set -eo pipefail
 
+. ./path.sh
+
 stage=${1:-0}
 stop_stage=${2:-4}
 

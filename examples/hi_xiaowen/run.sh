@@ -4,6 +4,8 @@
 # Usage: ./run.sh <stage> <stop_stage>
 set -eo pipefail
 
+. ./path.sh
+
 stage=${1:--1}
 stop_stage=${2:-3}
 num_keywords=2

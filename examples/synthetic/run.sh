@@ -1,14 +1,16 @@
 #!/bin/bash
 # Self-contained synthetic wake-word recipe — runs end to end with no
 # dataset downloads (generation -> cmvn -> train -> average -> score ->
-# DET -> export).  Usage: ./run.sh [stage] [stop_stage]
+# DET -> export).  Usage: ./run.sh [stage] [stop_stage] [config]
 set -eo pipefail
+
+. ./path.sh
 
 stage=${1:-0}
 stop_stage=${2:-4}
-config=conf/ds_tcn.yaml
+config=${3:-conf/ds_tcn.yaml}
 data=data
-dir=exp/ds_tcn
+dir=exp/$(basename "$config" .yaml)
 num_average=5
 score_checkpoint=$dir/avg_${num_average}.ckpt
 

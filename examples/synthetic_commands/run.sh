@@ -1,14 +1,16 @@
 #!/bin/bash
 # Self-contained synthetic command-classification recipe (the Speech
 # Commands CE path: generation -> cmvn -> train -> average ->
-# accuracy).  Usage: ./run.sh [stage] [stop_stage]
+# accuracy).  Usage: ./run.sh [stage] [stop_stage] [config]
 set -eo pipefail
+
+. ./path.sh
 
 stage=${1:-0}
 stop_stage=${2:-3}
-config=conf/mdtc_ce.yaml
+config=${3:-conf/mdtc_ce.yaml}
 data=data
-dir=exp/mdtc_ce
+dir=exp/$(basename "$config" .yaml)
 num_classes=8
 num_average=5
 score_checkpoint=$dir/avg_${num_average}.ckpt

@@ -5,6 +5,8 @@
 # Usage: ./run.sh [stage] [stop_stage]
 set -eo pipefail
 
+. ./path.sh
+
 stage=${1:-0}
 stop_stage=${2:-4}
 config=conf/fsmn_ctc.yaml

@@ -463,3 +463,150 @@ class TestBatchKeywordSpotter:
         m = min(len(g), len(want))
         assert m > 80
         np.testing.assert_allclose(g[:m], want[:m], atol=1e-5, rtol=1e-5)
+
+
+@pytest.fixture
+def maxpool_spotter_setup(tmp_path):
+    """Max-pooling (sigmoid) wake-word artifacts for the batched
+    max-pooling engine."""
+    import yaml as _yaml
+
+    from wekws_tpu.models import init_model
+    from wekws_tpu.train import save_checkpoint
+
+    configs = {
+        "dataset_conf": {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 1.0},
+        },
+        "model": {
+            "input_dim": 23, "output_dim": 2, "hidden_dim": 16,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "tcn", "ds": True, "num_layers": 3,
+                         "kernel_size": 8, "dropout": 0.0},
+        },
+    }
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(_yaml.dump(configs))
+    model = init_model(configs["model"])
+    feats0 = np.zeros((1, 10, 23), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), feats0)
+    ckpt = tmp_path / "final.ckpt"
+    save_checkpoint(
+        str(ckpt), variables["params"], variables.get("batch_stats", {})
+    )
+    return str(ckpt), str(config_path)
+
+
+class TestBatchMaxPoolSpotter:
+    """Batched serving engine for max-pooling (sigmoid) models."""
+
+    def test_matches_independent_streams(self, maxpool_spotter_setup, rng):
+        """Staggered multi-stream posteriors == a dedicated 1-stream
+        engine per wave (lockstep masking is exact)."""
+        from wekws_tpu.runtime import BatchMaxPoolSpotter
+
+        ckpt, config = maxpool_spotter_setup
+        n = 3
+        waves = [
+            (rng.standard_normal(12000) * 1000).astype("<i2").tobytes()
+            for _ in range(n)
+        ]
+
+        def capture_engine(eng, nstreams):
+            probs = [[] for _ in range(nstreams)]
+            orig = eng._step_jit
+
+            def capture(feats, active, reset, cache):
+                out, c = orig(feats, active, reset, cache)
+                p = np.asarray(out)
+                for i in range(nstreams):
+                    if active[i]:
+                        probs[i].append(p[i])
+                return out, c
+
+            eng._step_jit = capture
+            return probs
+
+        want = []
+        for w in waves:
+            single = BatchMaxPoolSpotter(
+                ckpt, config, threshold=0.5, num_streams=1, step_frames=8
+            )
+            probs = capture_engine(single, 1)
+            single.accept_wave(0, w)
+            while single.step():
+                pass
+            single.flush()
+            want.append(np.concatenate(probs[0], axis=0))
+
+        batch = BatchMaxPoolSpotter(
+            ckpt, config, threshold=0.5, num_streams=n, step_frames=8
+        )
+        got = capture_engine(batch, n)
+        offsets = [0] * n
+        chunk = [4800, 9600, 3200]
+        while any(offsets[i] < len(waves[i]) for i in range(n)):
+            for i in range(n):
+                if offsets[i] < len(waves[i]):
+                    batch.accept_wave(
+                        i, waves[i][offsets[i] : offsets[i] + chunk[i]]
+                    )
+                    offsets[i] += chunk[i]
+            batch.step()
+        batch.flush()
+
+        for i in range(n):
+            g = np.concatenate(got[i], axis=0)
+            m = min(len(g), len(want[i]))
+            assert m > 60
+            np.testing.assert_allclose(
+                g[:m], want[i][:m], atol=1e-5, rtol=1e-5
+            )
+
+    def test_threshold_and_refractory(self, maxpool_spotter_setup):
+        """Fires at the first frame >= threshold, stays silent for
+        interval_frames, fires again afterwards; reset clears the
+        refractory state."""
+        from wekws_tpu.runtime import BatchMaxPoolSpotter
+
+        ckpt, config = maxpool_spotter_setup
+        eng = BatchMaxPoolSpotter(
+            ckpt, config, threshold=0.5, num_streams=1, step_frames=8,
+            interval_frames=20, keyword_names=["hey", "ok"],
+        )
+
+        def fake_step(feats, active, reset, cache):
+            t = feats.shape[1]
+            probs = np.zeros((1, t, 2), np.float32)
+            probs[0, :, 1] = 0.9  # keyword 'ok' hot every frame
+            return probs, cache
+
+        eng._step_jit = fake_step
+        pcm = np.zeros(16000, "<i2").tobytes()
+        eng.accept_wave(0, pcm)
+
+        fired_frames = []
+        while True:
+            res = eng.step()
+            if not res:
+                break
+            r = res[0]
+            if r["state"]:
+                assert r["keyword"] == "ok"
+                assert r["score"] == pytest.approx(0.9)
+                fired_frames.append(r["frame"])
+        # every fire separated by > interval_frames, first fire at 0
+        assert fired_frames[0] == 0
+        assert all(
+            b - a > 20 for a, b in zip(fired_frames, fired_frames[1:])
+        )
+        assert len(fired_frames) >= 3
+
+        # reset clears the refractory clock: a fresh stream fires at
+        # its first frame again
+        eng.reset_stream(0)
+        eng.accept_wave(0, pcm)
+        res = eng.step()
+        assert res[0]["state"] == 1 and res[0]["frame"] == 0

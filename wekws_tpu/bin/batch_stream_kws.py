@@ -24,9 +24,14 @@ def get_args():
     parser = argparse.ArgumentParser(description="batched streaming kws")
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", required=True)
-    parser.add_argument("--token_file", required=True)
+    parser.add_argument("--token_file", default=None,
+                        help="CTC mode: token table (required unless "
+                             "--maxpool)")
     parser.add_argument("--lexicon_file", default=None)
-    parser.add_argument("--keywords", required=True)
+    parser.add_argument("--keywords", default=None,
+                        help="CTC mode: comma-separated keywords; "
+                             "maxpool mode: optional names for the "
+                             "posterior columns")
     parser.add_argument("--wav_paths", nargs="+", required=True)
     parser.add_argument("--streams", type=int, default=None,
                         help="stream slots (default: one per wav)")
@@ -44,6 +49,10 @@ def get_args():
     parser.add_argument("--device_decode", action="store_true",
                         help="run beam + detection FSM inside the jitted "
                              "step (one dispatch per step, no host beams)")
+    parser.add_argument("--maxpool", action="store_true",
+                        help="serve a max-pooling (sigmoid) wake-word "
+                             "model: threshold + refractory detection "
+                             "instead of CTC beams")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the stream axis over the first N "
                              "devices (0 = single device)")
@@ -58,7 +67,7 @@ def main():
     import numpy as np
 
     from wekws_tpu.data.audio import read_wav
-    from wekws_tpu.runtime import BatchKeywordSpotter
+    from wekws_tpu.runtime import BatchKeywordSpotter, BatchMaxPoolSpotter
 
     n = args.streams or len(args.wav_paths)
     mesh = None
@@ -69,15 +78,29 @@ def main():
         mesh = Mesh(
             np.asarray(jax.devices()[: args.mesh_devices]), ("streams",)
         )
-    spotter = BatchKeywordSpotter(
-        args.checkpoint, args.config, args.token_file, args.lexicon_file,
-        args.threshold, num_streams=n, step_frames=args.step_frames,
-        min_frames=args.min_frames, max_frames=args.max_frames,
-        interval_frames=args.interval_frames,
-        score_beam=args.score_beam, path_beam=args.path_beam,
-        device_decode=args.device_decode, mesh=mesh,
-    )
-    spotter.set_keywords(args.keywords)
+    if args.maxpool:
+        names = args.keywords.split(",") if args.keywords else None
+        spotter = BatchMaxPoolSpotter(
+            args.checkpoint, args.config, args.threshold,
+            num_streams=n, step_frames=args.step_frames,
+            interval_frames=args.interval_frames,
+            keyword_names=names, mesh=mesh,
+        )
+    else:
+        if not args.token_file or not args.keywords:
+            raise SystemExit(
+                "--token_file and --keywords are required in CTC mode"
+            )
+        spotter = BatchKeywordSpotter(
+            args.checkpoint, args.config, args.token_file,
+            args.lexicon_file, args.threshold, num_streams=n,
+            step_frames=args.step_frames, min_frames=args.min_frames,
+            max_frames=args.max_frames,
+            interval_frames=args.interval_frames,
+            score_beam=args.score_beam, path_beam=args.path_beam,
+            device_decode=args.device_decode, mesh=mesh,
+        )
+        spotter.set_keywords(args.keywords)
 
     pcms = []
     sr = None
@@ -90,11 +113,17 @@ def main():
     def report(results):
         for i, r in results.items():
             if r and r.get("state") == 1:
-                print(
-                    f"stream {i}: detect {r['keyword']} "
-                    f"from {r['start']:.2f}s to {r['end']:.2f}s "
-                    f"score {r['score']:.3f}"
-                )
+                if args.maxpool:
+                    print(
+                        f"stream {i}: detect {r['keyword']} "
+                        f"at {r['time']:.2f}s score {r['score']:.3f}"
+                    )
+                else:
+                    print(
+                        f"stream {i}: detect {r['keyword']} "
+                        f"from {r['start']:.2f}s to {r['end']:.2f}s "
+                        f"score {r['score']:.3f}"
+                    )
 
     t0 = time.perf_counter()
     off = 0

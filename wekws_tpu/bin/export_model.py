@@ -67,12 +67,21 @@ def main():
         from wekws_tpu.export import GraphRuntime, export_model
 
         export_model(model, variables, configs, args.output_dir)
-        # parity gate — reference forward pinned to CPU so the check
-        # verifies the artifact against exact f32 semantics (a TPU
-        # forward would inject MXU default-precision noise ~4e-3)
+        # parity gate — the reference forward must use exact f32
+        # semantics (a TPU forward at default precision would inject
+        # MXU bf16 noise ~4e-3). Prefer pinning to the CPU backend;
+        # when the session exposes only the accelerator (e.g. a
+        # tunneled chip with no CPU platform registered), force
+        # HIGHEST matmul/conv precision instead — same f32 accuracy,
+        # and the probe shapes are tiny so the multi-pass lowering
+        # doesn't matter.
         rng = np.random.default_rng(0)
         x = rng.standard_normal((1, 100, input_dim)).astype(np.float32)
-        with jax.default_device(jax.devices("cpu")[0]):
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            ctx = jax.default_matmul_precision("highest")
+        with ctx:
             cpu_vars = jax.device_get(variables)
             want, _ = model.apply(cpu_vars, jnp.asarray(x))
         want = np.asarray(want)

@@ -59,7 +59,123 @@ from wekws_tpu.runtime.streaming_frontend import StreamingFrontend
 from wekws_tpu.text.tokenizer import read_lexicon, read_token
 
 
-class BatchKeywordSpotter:
+class _BatchedStreamEngine:
+    """Shared multi-stream machinery: per-stream frontends, pending
+    feature queues, lockstep step/flush scheduling and reset masks.
+
+    Subclasses implement ``_dispatch(ready, t, feats, active, reset)``
+    (one batched device step + per-stream result extraction) and
+    ``_reset_host_state(stream)`` (clear per-stream decode state)."""
+
+    def _init_streams(self, num_streams: int, step_frames: int) -> None:
+        assert num_streams >= 1 and step_frames >= 1
+        self.num_streams = num_streams
+        self.step_frames = step_frames
+        self.frontends: List[StreamingFrontend] = [
+            StreamingFrontend(*self._frontend_args)
+            for _ in range(num_streams)
+        ]
+        self._pending_feats: List[np.ndarray] = [
+            np.zeros((0, self.feat_dim), np.float32)
+            for _ in range(num_streams)
+        ]
+        self._pending_idx: List[np.ndarray] = [
+            np.zeros((0,), np.int64) for _ in range(num_streams)
+        ]
+        self._reset_mask = np.zeros((num_streams,), bool)
+        self.cache = self.model.init_cache(num_streams)
+
+    # ------------- streaming -------------
+
+    def accept_wave(self, stream: int, wave: bytes) -> None:
+        """Queue a PCM chunk (int16 LE bytes) for one stream."""
+        data = np.frombuffer(wave, dtype="<i2").astype(np.float32)
+        feats, idx = self.frontends[stream].accept_waveform(data)
+        if feats.shape[0]:
+            self._pending_feats[stream] = np.concatenate(
+                [self._pending_feats[stream], feats]
+            )
+            self._pending_idx[stream] = np.concatenate(
+                [self._pending_idx[stream], idx]
+            )
+
+    def pending_frames(self, stream: int) -> int:
+        return self._pending_feats[stream].shape[0]
+
+    def step(self) -> Dict[int, Dict]:
+        """Run one batched device step over every stream holding at
+        least ``step_frames`` queued frames. Returns {stream: result}
+        for the streams that ran."""
+        ready = [
+            i
+            for i in range(self.num_streams)
+            if self._pending_feats[i].shape[0] >= self.step_frames
+        ]
+        if not ready:
+            return {}
+        return self._run(ready, self.step_frames)
+
+    def flush(self) -> Dict[int, Dict]:
+        """Drain remaining sub-step remainders (end of stream) with a
+        T=1 program. Returns the last result per flushed stream."""
+        results: Dict[int, Dict] = {}
+        while True:  # full-size steps first (cheaper program)
+            ran = self.step()
+            if not ran:
+                break
+            results.update(ran)
+        while True:
+            ready = [
+                i
+                for i in range(self.num_streams)
+                if self._pending_feats[i].shape[0] >= 1
+            ]
+            if not ready:
+                return results
+            results.update(self._run(ready, 1))
+
+    def _run(self, ready: List[int], t: int) -> Dict[int, Dict]:
+        n, d = self.num_streams, self.feat_dim
+        feats = np.zeros((n, t, d), np.float32)
+        active = np.zeros((n,), bool)
+        for i in ready:
+            feats[i] = self._pending_feats[i][:t]
+            active[i] = True
+        reset = self._reset_mask.copy()
+        self._reset_mask[:] = False
+        return self._dispatch(ready, t, feats, active, reset)
+
+    def _consume(self, stream: int, t: int) -> np.ndarray:
+        """Advance one stream's queue by ``t`` frames; returns the
+        consumed frames' global indices."""
+        idx = self._pending_idx[stream][:t]
+        self._pending_feats[stream] = self._pending_feats[stream][t:]
+        self._pending_idx[stream] = self._pending_idx[stream][t:]
+        return idx
+
+    # ------------- state -------------
+
+    def reset_stream(self, stream: int) -> None:
+        """Free a slot for a new client: clears frontend, queue, decode
+        state and (on the next device step) the cache row."""
+        self._reset_host_state(stream)
+        self.frontends[stream].reset()
+        self._pending_feats[stream] = np.zeros((0, self.feat_dim), np.float32)
+        self._pending_idx[stream] = np.zeros((0,), np.int64)
+        self._reset_mask[stream] = True
+
+    def reset_all(self) -> None:
+        for i in range(self.num_streams):
+            self.reset_stream(i)
+
+    def _dispatch(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
+        raise NotImplementedError
+
+    def _reset_host_state(self, stream: int) -> None:
+        raise NotImplementedError
+
+
+class BatchKeywordSpotter(_BatchedStreamEngine):
     def __init__(
         self,
         ckpt_path: str,
@@ -86,9 +202,6 @@ class BatchKeywordSpotter:
         import jax
         import jax.numpy as jnp
 
-        assert num_streams >= 1 and step_frames >= 1
-        self.num_streams = num_streams
-        self.step_frames = step_frames
         self.device_decode = device_decode
         row_s = rep_s = None
         if mesh is not None:
@@ -215,19 +328,7 @@ class BatchKeywordSpotter:
             )
             for _ in range(num_streams)
         ]
-        self.frontends: List[StreamingFrontend] = [
-            StreamingFrontend(*self._frontend_args)
-            for _ in range(num_streams)
-        ]
-        self._pending_feats: List[np.ndarray] = [
-            np.zeros((0, self.feat_dim), np.float32)
-            for _ in range(num_streams)
-        ]
-        self._pending_idx: List[np.ndarray] = [
-            np.zeros((0,), np.int64) for _ in range(num_streams)
-        ]
-        self._reset_mask = np.zeros((num_streams,), bool)
-        self.cache = self.model.init_cache(num_streams)
+        self._init_streams(num_streams, step_frames)
 
     # ------------- keywords -------------
 
@@ -249,64 +350,8 @@ class BatchKeywordSpotter:
 
     # ------------- streaming -------------
 
-    def accept_wave(self, stream: int, wave: bytes) -> None:
-        """Queue a PCM chunk (int16 LE bytes) for one stream."""
-        data = np.frombuffer(wave, dtype="<i2").astype(np.float32)
-        feats, idx = self.frontends[stream].accept_waveform(data)
-        if feats.shape[0]:
-            self._pending_feats[stream] = np.concatenate(
-                [self._pending_feats[stream], feats]
-            )
-            self._pending_idx[stream] = np.concatenate(
-                [self._pending_idx[stream], idx]
-            )
-
-    def pending_frames(self, stream: int) -> int:
-        return self._pending_feats[stream].shape[0]
-
-    def step(self) -> Dict[int, Dict]:
-        """Run one batched device step over every stream holding at
-        least ``step_frames`` queued frames. Returns {stream: result}
-        for the streams that ran (result as in KeyWordSpotter)."""
-        ready = [
-            i
-            for i in range(self.num_streams)
-            if self._pending_feats[i].shape[0] >= self.step_frames
-        ]
-        if not ready:
-            return {}
-        return self._run(ready, self.step_frames)
-
-    def flush(self) -> Dict[int, Dict]:
-        """Drain remaining sub-step remainders (end of stream) with a
-        T=1 program. Returns the last result per flushed stream."""
-        results: Dict[int, Dict] = {}
-        while True:  # full-size steps first (cheaper program)
-            ran = self.step()
-            if not ran:
-                break
-            results.update(ran)
-        while True:
-            ready = [
-                i
-                for i in range(self.num_streams)
-                if self._pending_feats[i].shape[0] >= 1
-            ]
-            if not ready:
-                return results
-            results.update(self._run(ready, 1))
-
-    def _run(self, ready: List[int], t: int) -> Dict[int, Dict]:
+    def _dispatch(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
         import jax
-
-        n, d = self.num_streams, self.feat_dim
-        feats = np.zeros((n, t, d), np.float32)
-        active = np.zeros((n,), bool)
-        for i in ready:
-            feats[i] = self._pending_feats[i][:t]
-            active[i] = True
-        reset = self._reset_mask.copy()
-        self._reset_mask[:] = False
 
         if self.device_decode:
             return self._run_device(ready, t, feats, active, reset)
@@ -316,9 +361,7 @@ class BatchKeywordSpotter:
 
         results: Dict[int, Dict] = {}
         for i in ready:
-            idx = self._pending_idx[i][:t]
-            self._pending_feats[i] = self._pending_feats[i][t:]
-            self._pending_idx[i] = self._pending_idx[i][t:]
+            idx = self._consume(i, t)
             results[i] = self.detectors[i].process(idx, probs[i])
         return results
 
@@ -345,8 +388,7 @@ class BatchKeywordSpotter:
         results: Dict[int, Dict] = {}
         res = self.resolution
         for i in ready:
-            self._pending_feats[i] = self._pending_feats[i][t:]
-            self._pending_idx[i] = self._pending_idx[i][t:]
+            self._consume(i, t)
             if ev[0, i]:
                 results[i] = {
                     "state": 1,
@@ -362,17 +404,142 @@ class BatchKeywordSpotter:
                 }
         return results
 
-    # ------------- state -------------
-
-    def reset_stream(self, stream: int) -> None:
-        """Free a slot for a new client: clears frontend, queue, beam,
-        FSM and (on the next device step) the cache row."""
+    def _reset_host_state(self, stream: int) -> None:
         self.detectors[stream].reset_all()
-        self.frontends[stream].reset()
-        self._pending_feats[stream] = np.zeros((0, self.feat_dim), np.float32)
-        self._pending_idx[stream] = np.zeros((0,), np.int64)
-        self._reset_mask[stream] = True
 
-    def reset_all(self) -> None:
-        for i in range(self.num_streams):
-            self.reset_stream(i)
+
+class BatchMaxPoolSpotter(_BatchedStreamEngine):
+    """Batched multi-stream serving for max-pooling wake-word models.
+
+    The reference has no online engine for max-pooling models beyond
+    the C++ runtime's per-frame posterior stream (kws_main prints
+    probabilities; the Android app thresholds them with a refractory
+    banner — /root/reference/runtime/android/app/src/main/cpp/wekws.cc
+    :85-98). This engine applies the same semantics batched: a stream
+    fires keyword k at the first frame whose sigmoid posterior reaches
+    ``threshold``, then stays silent for that (stream, keyword) for
+    ``interval_frames`` frames (the refractory window mirrors
+    compute_det's window_shift suppression,
+    /root/reference/wekws/bin/compute_det.py:87-96).
+
+    Shares the lockstep batching/cache-restore/reset machinery with
+    BatchKeywordSpotter; the model forward keeps its trained sigmoid
+    activation (no softmax) and the detection itself is a vectorized
+    host comparison over the (T, K) chunk posteriors.
+    """
+
+    def __init__(
+        self,
+        ckpt_path: str,
+        config_path: str,
+        threshold: float,
+        num_streams: int = 16,
+        step_frames: int = 8,
+        interval_frames: int = 50,
+        keyword_names: Optional[List[str]] = None,
+        mesh=None,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        row_s = rep_s = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            assert num_streams % mesh.devices.size == 0, (
+                "num_streams must be a multiple of the mesh size"
+            )
+            row_s = NamedSharding(mesh, P(axis))
+            rep_s = NamedSharding(mesh, P())
+
+        configs, cfg, left, right, downsampling = load_spotter_config(
+            config_path
+        )
+        self.sample_rate = cfg.sample_rate
+        # frontend frame indices are global pre-skip indices
+        # (streaming_frontend.py), so wall time is idx * frame_shift
+        self.resolution = cfg.frame_shift_ms / 1000.0
+        self._frontend_args = (cfg, left, right, downsampling)
+        self.feat_dim = cfg.feat_dim * (left + 1 + right)
+
+        self.model, self._variables = load_spotter_model(
+            configs, ckpt_path, self.feat_dim
+        )
+        num_keywords = int(configs["model"]["output_dim"])
+        self.keyword_names = keyword_names or [
+            str(k) for k in range(num_keywords)
+        ]
+        assert len(self.keyword_names) == num_keywords
+
+        def step_fn(feats, active, reset, cache):
+            def row_mask(mask, leaf):
+                return mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
+
+            cache = jax.tree.map(
+                lambda c: jnp.where(row_mask(reset, c), 0.0, c), cache
+            )
+            probs, new_cache = self.model.apply(
+                self._variables, feats, cache
+            )
+            out_cache = jax.tree.map(
+                lambda n, o: jnp.where(row_mask(active, n), n, o),
+                new_cache,
+                cache,
+            )
+            return probs, out_cache
+
+        if mesh is None:
+            self._step_jit = jax.jit(step_fn)
+        else:
+            self._step_jit = jax.jit(
+                step_fn,
+                in_shardings=(row_s, row_s, row_s, row_s),
+                out_shardings=(row_s, row_s),
+            )
+            self._variables = jax.device_put(self._variables, rep_s)
+
+        self.threshold = float(threshold)
+        self.interval_frames = int(interval_frames)
+        self._last_fire = np.full(
+            (num_streams, num_keywords), -(10**9), np.int64
+        )
+        self._init_streams(num_streams, step_frames)
+
+    def _dispatch(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
+        import jax
+
+        probs, self.cache = self._step_jit(feats, active, reset, self.cache)
+        probs = np.asarray(jax.device_get(probs))  # (N, T, K)
+
+        results: Dict[int, Dict] = {}
+        for i in ready:
+            idx = self._consume(i, t)
+            results[i] = self._detect(i, idx, probs[i])
+        return results
+
+    def _detect(self, stream: int, idx: np.ndarray, probs: np.ndarray):
+        hit = probs >= self.threshold  # (T, K)
+        for row, frame in enumerate(idx):
+            open_k = np.flatnonzero(
+                hit[row]
+                & (frame - self._last_fire[stream] > self.interval_frames)
+            )
+            if open_k.size == 0:
+                continue
+            k = int(open_k[np.argmax(probs[row, open_k])])
+            self._last_fire[stream, k] = frame
+            return {
+                "state": 1,
+                "keyword": self.keyword_names[k],
+                "frame": int(frame),
+                "time": float(frame) * self.resolution,
+                "score": float(probs[row, k]),
+            }
+        return {
+            "state": 0, "keyword": None, "frame": None,
+            "time": None, "score": None,
+        }
+
+    def _reset_host_state(self, stream: int) -> None:
+        self._last_fire[stream, :] = -(10**9)
