@@ -610,3 +610,40 @@ class TestBatchMaxPoolSpotter:
         eng.accept_wave(0, pcm)
         res = eng.step()
         assert res[0]["state"] == 1 and res[0]["frame"] == 0
+
+    def test_tail_flush_is_one_padded_dispatch(self, maxpool_spotter_setup):
+        """A sub-step remainder flushes in ONE length-masked dispatch
+        (not one T=1 dispatch per frame — each dispatch pays an
+        RTT-sized floor in serving), results stay exact for the valid
+        prefix, and the flushed slot is scheduled for a cache reset."""
+        from wekws_tpu.runtime import BatchMaxPoolSpotter
+
+        ckpt, config = maxpool_spotter_setup
+        eng = BatchMaxPoolSpotter(
+            ckpt, config, threshold=0.5, num_streams=2, step_frames=8,
+            interval_frames=20, keyword_names=["hey", "ok"],
+        )
+
+        seen_t = []
+
+        def fake_step(feats, active, reset, cache):
+            t = feats.shape[1]
+            seen_t.append(t)
+            probs = np.zeros((2, t, 2), np.float32)
+            probs[:, :, 1] = 0.9
+            return probs, cache
+
+        eng._step_jit = fake_step
+        # ~35 frames => 4 full 8-frame steps + a 3-frame tail
+        eng.accept_wave(0, np.zeros(16000 // 100 * 36 * 2, "<i2")
+                        .tobytes())
+        while eng.step():
+            pass
+        before = eng.stats["dispatches"]
+        tail = eng.flush_stream(0)
+        assert eng.stats["dispatches"] == before + 1  # ONE dispatch
+        assert seen_t[-1] == 8  # padded to step_frames, not T=1
+        assert len(tail) == 1 and tail[0]["state"] == 0  # refractory
+        assert eng._reset_mask[0] and not eng._reset_mask[1]
+        # the padded rows beyond the tail produced no phantom frames
+        assert eng.pending_frames(0) == 0

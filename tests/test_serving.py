@@ -1,0 +1,198 @@
+"""KWS serving daemon: protocol framing, event delivery, slot
+lifecycle. The engine's device step is stubbed with deterministic
+posteriors so the tests pin the network/server semantics, not the
+model (engine exactness is covered in test_runtime.py)."""
+
+import asyncio
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from wekws_tpu.serving import protocol as P
+
+
+class TestProtocol:
+    def test_roundtrip(self):
+        msg = P.pack(P.MSG_AUDIO, b"\x01\x02\x03")
+        mtype, length = P.unpack_header(msg[: P.HEADER_SIZE])
+        assert mtype == P.MSG_AUDIO
+        assert length == 3
+        assert msg[P.HEADER_SIZE:] == b"\x01\x02\x03"
+
+    def test_json_roundtrip(self):
+        import json
+
+        msg = P.pack_json(P.MSG_EVENT, {"keyword": "ok", "score": 0.9})
+        _, length = P.unpack_header(msg[: P.HEADER_SIZE])
+        assert json.loads(msg[P.HEADER_SIZE:]) == {
+            "keyword": "ok", "score": 0.9,
+        }
+
+    def test_oversize_rejected(self):
+        with pytest.raises(ValueError):
+            P.pack(P.MSG_AUDIO, b"x" * (P.MAX_PAYLOAD + 1))
+        big = P.HEADER_SIZE * b"\xff"
+        with pytest.raises(ValueError):
+            P.unpack_header(big[: P.HEADER_SIZE])
+
+
+def _make_engine(tmp_path, num_streams):
+    """Tiny max-pooling engine with a stubbed device step: keyword 1
+    ('ok') hot at 0.9 on every frame."""
+    import jax
+    import yaml as _yaml
+
+    from wekws_tpu.models import init_model
+    from wekws_tpu.runtime import BatchMaxPoolSpotter
+    from wekws_tpu.train import save_checkpoint
+
+    configs = {
+        "dataset_conf": {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 1.0},
+        },
+        "model": {
+            "input_dim": 23, "output_dim": 2, "hidden_dim": 16,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
+                         "kernel_size": 4, "dropout": 0.0},
+        },
+    }
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(_yaml.dump(configs))
+    model = init_model(configs["model"])
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 10, 23), np.float32)
+    )
+    ckpt = tmp_path / "final.ckpt"
+    save_checkpoint(
+        str(ckpt), variables["params"], variables.get("batch_stats", {})
+    )
+    eng = BatchMaxPoolSpotter(
+        str(ckpt), str(config_path), threshold=0.5,
+        num_streams=num_streams, step_frames=8, interval_frames=30,
+        keyword_names=["hey", "ok"],
+    )
+
+    def fake_step(feats, active, reset, cache):
+        n, t = feats.shape[0], feats.shape[1]
+        probs = np.zeros((n, t, 2), np.float32)
+        probs[:, :, 1] = 0.9
+        return probs, cache
+
+    eng._step_jit = fake_step
+    return eng
+
+
+class _ServerThread:
+    """KwsServer on its own event loop thread; port auto-assigned."""
+
+    def __init__(self, engine):
+        from wekws_tpu.serving import KwsServer
+
+        self.server = KwsServer(engine, "127.0.0.1", 0)
+        self._started = threading.Event()
+        self._loop = None
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+        assert self._started.wait(10), "server failed to start"
+
+    def _run(self):
+        async def main():
+            self._loop = asyncio.get_running_loop()
+            await self.server.start()
+            self._started.set()
+            try:
+                await self.server._server.serve_forever()
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(main())
+
+    @property
+    def port(self):
+        return self.server.port
+
+    def stop(self):
+        fut = asyncio.run_coroutine_threadsafe(
+            self.server.stop(), self._loop
+        )
+        try:
+            fut.result(10)
+        except Exception:
+            pass
+        self.thread.join(10)
+
+
+@pytest.fixture
+def served_engine(tmp_path):
+    st = _ServerThread(_make_engine(tmp_path, num_streams=2))
+    yield st
+    st.stop()
+
+
+def _pcm(seconds=1.0):
+    return np.zeros(int(16000 * seconds), "<i2").tobytes()
+
+
+class TestKwsServer:
+    def test_events_and_flush(self, served_engine):
+        from wekws_tpu.serving import KwsClient
+
+        with KwsClient("127.0.0.1", served_engine.port) as c:
+            c.send_audio(_pcm(1.0))
+            events = []
+            deadline = time.time() + 10
+            while not events and time.time() < deadline:
+                events = c.poll_events()
+                time.sleep(0.02)
+            events += c.finish()
+        assert events, "no detection events received"
+        assert all(e["keyword"] == "ok" for e in events)
+        assert events[0]["frame"] == 0
+        # refractory: fires spaced by > interval_frames
+        frames = [e["frame"] for e in events]
+        assert all(b - a > 30 for a, b in zip(frames, frames[1:]))
+
+    def test_two_clients_independent_slots(self, served_engine):
+        from wekws_tpu.serving import KwsClient
+
+        c1 = KwsClient("127.0.0.1", served_engine.port)
+        c2 = KwsClient("127.0.0.1", served_engine.port)
+        assert c1.stream != c2.stream
+        c1.send_audio(_pcm(0.5))
+        c2.send_audio(_pcm(0.5))
+        e1 = c1.finish()
+        e2 = c2.finish()
+        # both streams detect from their own frame clock
+        assert e1 and e1[0]["frame"] == 0
+        assert e2 and e2[0]["frame"] == 0
+
+    def test_slot_reuse_resets_state(self, served_engine):
+        from wekws_tpu.serving import KwsClient
+
+        with KwsClient("127.0.0.1", served_engine.port) as c:
+            c.send_audio(_pcm(0.5))
+            first = c.finish()
+        assert first and first[0]["frame"] == 0
+        # a new client on the freed slot starts from frame 0 again
+        # (cache + refractory were reset)
+        with KwsClient("127.0.0.1", served_engine.port) as c:
+            c.send_audio(_pcm(0.5))
+            again = c.finish()
+        assert again and again[0]["frame"] == 0
+
+    def test_server_full(self, tmp_path):
+        from wekws_tpu.serving import KwsClient
+
+        st = _ServerThread(_make_engine(tmp_path, num_streams=1))
+        try:
+            c1 = KwsClient("127.0.0.1", st.port)
+            with pytest.raises(ConnectionError, match="refused"):
+                KwsClient("127.0.0.1", st.port)
+            c1.close()
+        finally:
+            st.stop()

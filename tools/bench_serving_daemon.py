@@ -1,0 +1,203 @@
+"""End-to-end benchmark of the KWS serving daemon (bin/serve.py path).
+
+Starts a KwsServer in-process (same engine the CLI builds), connects N
+concurrent socket clients each feeding a wav in realtime-agnostic
+chunks, and reports detections + aggregate realtime factor.
+
+    python tools/bench_serving_daemon.py --maxpool \
+        --config exp/mdtc/config.yaml --checkpoint exp/mdtc/avg_5.ckpt \
+        --threshold 0.5 --wav_paths data/test/test_*.wav --streams 8
+"""
+
+import argparse
+import asyncio
+import threading
+import time
+
+
+def _client_proc(host, port, wav_path, repeat, chunk, q):
+    """One client in its own PROCESS (no GIL sharing with the server):
+    streams a wav, returns (n_events, first_two_events)."""
+    import numpy as np
+
+    from wekws_tpu.data.audio import read_wav
+    from wekws_tpu.serving import KwsClient
+
+    wave, _sr = read_wav(wav_path)
+    pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+    pcm = pcm * max(repeat, 1)
+    c = KwsClient(host, port, timeout=600)
+    t_start = time.time()
+    events = []
+    for off in range(0, len(pcm), chunk):
+        c.send_audio(pcm[off : off + chunk])
+        events += c.poll_events()
+    events += c.finish()
+    q.put((len(events), events[:2], t_start, time.time()))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--maxpool", action="store_true")
+    parser.add_argument("--token_file", default=None)
+    parser.add_argument("--lexicon_file", default=None)
+    parser.add_argument("--keywords", default=None)
+    parser.add_argument("--device_decode", action="store_true")
+    parser.add_argument("--wav_paths", nargs="+", required=True)
+    parser.add_argument("--streams", type=int, default=8)
+    parser.add_argument("--step_frames", type=int, default=8)
+    parser.add_argument("--repeat", type=int, default=1)
+    parser.add_argument("--chunk_ms", type=int, default=300)
+    parser.add_argument("--warmup", action="store_true",
+                        help="run one untimed client pass first so the "
+                             "jitted step + flush programs compile "
+                             "outside the measured window")
+    parser.add_argument("--client_procs", action="store_true",
+                        help="run each client in its own process "
+                             "(spawn) instead of a thread — removes "
+                             "client-side GIL contention from the "
+                             "measurement")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from wekws_tpu.bin.serve import build_engine
+    from wekws_tpu.data.audio import read_wav
+    from wekws_tpu.serving import KwsClient, KwsServer
+
+    ns = argparse.Namespace(
+        **{
+            **vars(args),
+            "streams": args.streams,
+            "step_frames": args.step_frames,
+            "min_frames": 5,
+            "max_frames": 250,
+            "interval_frames": 50,
+            "score_beam": 3,
+            "path_beam": 20,
+            "mesh_devices": 0,
+        }
+    )
+    server = KwsServer(build_engine(ns), "127.0.0.1", 0)
+
+    started = threading.Event()
+    loop_holder = {}
+
+    def run():
+        async def amain():
+            loop_holder["loop"] = asyncio.get_running_loop()
+            await server.start()
+            started.set()
+            try:
+                await server._server.serve_forever()
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(amain())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    started.wait(30)
+
+    pcms = []
+    sr = 16000
+    for i in range(args.streams):
+        wave, sr = read_wav(args.wav_paths[i % len(args.wav_paths)])
+        pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+        pcms.append(pcm * max(args.repeat, 1))
+    chunk = 2 * int(sr * args.chunk_ms / 1000)
+
+    def client(i, out):
+        c = KwsClient("127.0.0.1", server.port, timeout=600)
+        events = []
+        for off in range(0, len(pcms[i]), chunk):
+            c.send_audio(pcms[i][off : off + chunk])
+            events += c.poll_events()
+        events += c.finish()
+        out[i] = events
+
+    if args.warmup:
+        wout = {}
+        client(0, wout)
+        print(f"warmup: {len(wout[0])} events")
+
+    if args.client_procs:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        procs = [
+            ctx.Process(
+                target=_client_proc,
+                args=("127.0.0.1", server.port,
+                      args.wav_paths[i % len(args.wav_paths)],
+                      args.repeat, chunk, q),
+            )
+            for i in range(args.streams)
+        ]
+        for p in procs:
+            p.start()
+        # interpreter boot (~1 s/proc) is excluded: each client stamps
+        # its own streaming window; wall = first send -> last finish
+        results = [q.get() for _ in range(args.streams)]
+        for p in procs:
+            p.join()
+        wall = max(r[3] for r in results) - min(r[2] for r in results)
+        out = {i: r[1] for i, r in enumerate(results)}
+        total_events = sum(r[0] for r in results)
+    else:
+        t0 = time.perf_counter()
+        out = {}
+        threads = [
+            threading.Thread(target=client, args=(i, out))
+            for i in range(args.streams)
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.perf_counter() - t0
+        total_events = sum(len(v) for v in out.values())
+
+    audio_s = sum(len(p) for p in pcms) / 2 / sr
+    for i in sorted(out):
+        for e in out[i][:2]:
+            kw = e.get("keyword")
+            when = e.get("time", e.get("start"))
+            print(f"stream {i}: {kw} at {when:.2f}s score {e['score']:.3f}")
+    print(
+        f"{args.streams} clients, {audio_s:.1f} audio-s, "
+        f"{total_events} events in {wall:.2f}s "
+        f"(aggregate {audio_s / wall:.1f}x realtime)"
+    )
+    s = server.stats
+    if s["steps"]:
+        print(
+            f"server: {s['steps']} stepper steps, "
+            f"{s['participants'] / s['steps']:.1f}/{args.streams} "
+            f"avg participants, step {s['step_s']:.2f}s, "
+            f"accept-wait {s['accept_s']:.2f}s "
+            f"(handler-summed, incl. engine-thread queueing), "
+            f"coalesce {s['coalesce_s']:.2f}s"
+        )
+    e = server.engine.stats
+    if e["dispatches"]:
+        print(
+            f"engine: {e['dispatches']} dispatches, "
+            f"{e['rows'] / e['dispatches']:.1f}/{args.streams} avg rows, "
+            f"{e['frames']} stream-frames, "
+            f"dispatch {e['dispatch_s']:.2f}s "
+            f"({e['dispatch_s'] / e['dispatches'] * 1e3:.1f} ms avg)"
+        )
+
+    fut = asyncio.run_coroutine_threadsafe(
+        server.stop(), loop_holder["loop"]
+    )
+    fut.result(10)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""KWS serving daemon CLI.
+
+Binds the batched multi-stream engine (CTC beams, optionally
+on-device decode, or max-pooling threshold detection) behind a
+framed-TCP protocol (wekws_tpu/serving/protocol.py) so many network
+clients share ONE jitted batched device program.
+
+    python -m wekws_tpu.bin.serve \
+        --config exp/config.yaml --checkpoint exp/final.ckpt \
+        --token_file tokens.txt --keywords "hi xiaowen" \
+        --port 8990 --streams 64 [--device_decode]
+
+    python -m wekws_tpu.bin.serve --maxpool \
+        --config exp/config.yaml --checkpoint exp/avg_5.ckpt \
+        --threshold 0.5 --keywords wake --streams 64
+
+Client side: ``wekws_tpu.serving.KwsClient`` (or any implementation
+of the 5-byte-framed protocol).
+"""
+
+import argparse
+import asyncio
+import logging
+
+
+def get_args():
+    parser = argparse.ArgumentParser(description="kws serving daemon")
+    parser.add_argument("--config", required=True)
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8990)
+    parser.add_argument("--streams", type=int, default=16)
+    parser.add_argument("--step_frames", type=int, default=8)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--maxpool", action="store_true",
+                        help="max-pooling (sigmoid) model: threshold + "
+                             "refractory detection instead of CTC beams")
+    parser.add_argument("--token_file", default=None)
+    parser.add_argument("--lexicon_file", default=None)
+    parser.add_argument("--keywords", default=None)
+    parser.add_argument("--min_frames", type=int, default=5)
+    parser.add_argument("--max_frames", type=int, default=250)
+    parser.add_argument("--interval_frames", type=int, default=50)
+    parser.add_argument("--score_beam", type=int, default=3)
+    parser.add_argument("--path_beam", type=int, default=20)
+    parser.add_argument("--device_decode", action="store_true")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="shard the stream axis over the first N "
+                             "devices (0 = single device)")
+    return parser.parse_args()
+
+
+def build_engine(args):
+    import numpy as np
+
+    from wekws_tpu.runtime import BatchKeywordSpotter, BatchMaxPoolSpotter
+
+    mesh = None
+    if args.mesh_devices:
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(
+            np.asarray(jax.devices()[: args.mesh_devices]), ("streams",)
+        )
+    if args.maxpool:
+        names = args.keywords.split(",") if args.keywords else None
+        return BatchMaxPoolSpotter(
+            args.checkpoint, args.config, args.threshold,
+            num_streams=args.streams, step_frames=args.step_frames,
+            interval_frames=args.interval_frames,
+            keyword_names=names, mesh=mesh,
+        )
+    if not args.token_file or not args.keywords:
+        raise SystemExit(
+            "--token_file and --keywords are required in CTC mode"
+        )
+    engine = BatchKeywordSpotter(
+        args.checkpoint, args.config, args.token_file,
+        args.lexicon_file, args.threshold, num_streams=args.streams,
+        step_frames=args.step_frames, min_frames=args.min_frames,
+        max_frames=args.max_frames,
+        interval_frames=args.interval_frames,
+        score_beam=args.score_beam, path_beam=args.path_beam,
+        device_decode=args.device_decode, mesh=mesh,
+    )
+    engine.set_keywords(args.keywords)
+    return engine
+
+
+def main():
+    args = get_args()
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s"
+    )
+    from wekws_tpu.serving import KwsServer
+
+    server = KwsServer(build_engine(args), args.host, args.port)
+    try:
+        asyncio.run(server.serve_forever())
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

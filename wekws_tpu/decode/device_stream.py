@@ -158,6 +158,7 @@ def stream_detect_step(
     kw_tok: jnp.ndarray,
     kw_len: jnp.ndarray,
     tokenset_mask: jnp.ndarray,
+    lengths: jnp.ndarray = None,
     *,
     threshold: float,
     min_frames: int,
@@ -173,7 +174,11 @@ def stream_detect_step(
     probs: (B, T, V) softmaxed; active: (B,) bool — rows that actually
     hold T new frames (others stay bit-identical); reset: (B,) bool —
     full per-row state reset applied first (new client in the slot);
-    t0: (B,) int32 absolute frame index of the chunk's first frame.
+    t0: (B,) int32 absolute frame index of the chunk's first frame;
+    lengths: optional (B,) int32 valid-frame count per row — frames at
+    positions >= lengths[b] are zero padding (a flushed tail) and must
+    leave row b's decode state and events untouched (None = all rows
+    carry T frames).
 
     Returns (new_state, events) where events holds (B,) arrays:
     fired (bool), kw (int32 row into the keyword table), start/end
@@ -209,11 +214,14 @@ def stream_detect_step(
         score=jnp.zeros((b,), jnp.float32),
     )
 
+    if lengths is None:
+        lengths = jnp.full((b,), t_len, jnp.int32)
+
     def frame(carry, xs):
         st, done, ev = carry
         p_t, i = xs
         abs_t = t0 + i * downsampling
-        live = active & ~done
+        live = active & ~done & (i < lengths)
 
         beam = beam_step(
             st.beam, p_t, abs_t, live, tokenset_mask,
@@ -264,7 +272,7 @@ def stream_detect_step(
     )
 
     # stale-keyword reset at chunk end (host: process() tail).
-    total = t0 + jnp.int32(t_len * downsampling)
+    total = t0 + lengths * jnp.int32(downsampling)
     kw_start = state.beam.node_frame[:, 0, 0]
     stale = (
         active

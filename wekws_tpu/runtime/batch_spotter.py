@@ -45,6 +45,7 @@ Two decode modes:
   paths can drift per the documented node-track approximation.
 """
 
+import time
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -84,6 +85,10 @@ class _BatchedStreamEngine:
         ]
         self._reset_mask = np.zeros((num_streams,), bool)
         self.cache = self.model.init_cache(num_streams)
+        # dispatch-batching observability: every _run() counts here,
+        # whichever public path (step/flush/flush_stream) invoked it
+        self.stats = {"dispatches": 0, "rows": 0, "frames": 0,
+                      "dispatch_s": 0.0}
 
     # ------------- streaming -------------
 
@@ -116,34 +121,93 @@ class _BatchedStreamEngine:
         return self._run(ready, self.step_frames)
 
     def flush(self) -> Dict[int, Dict]:
-        """Drain remaining sub-step remainders (end of stream) with a
-        T=1 program. Returns the last result per flushed stream."""
+        """Drain every stream's remainder (end of run): full lockstep
+        steps first, then ONE zero-padded, length-masked dispatch for
+        all sub-step tails together. Returns the last result per
+        flushed stream.
+
+        Flushing finalizes a stream: the padded dispatch leaves the
+        cache row undefined past the valid frames, so the engine
+        schedules a cache-row reset — a flushed slot behaves like a
+        fresh one on its next step. The emitted results themselves are
+        exact: every backbone is frame-causal in its streaming
+        formulation (chunked-with-cache ≡ full forward for ANY chunk
+        split, tests/test_models.py), so posteriors for the valid
+        prefix of a padded chunk cannot depend on the padding."""
         results: Dict[int, Dict] = {}
-        while True:  # full-size steps first (cheaper program)
+        while True:  # full-size steps first
             ran = self.step()
             if not ran:
                 break
             results.update(ran)
-        while True:
-            ready = [
-                i
-                for i in range(self.num_streams)
-                if self._pending_feats[i].shape[0] >= 1
-            ]
-            if not ready:
-                return results
-            results.update(self._run(ready, 1))
+        tails = {
+            i: self._pending_feats[i].shape[0]
+            for i in range(self.num_streams)
+            if self._pending_feats[i].shape[0] >= 1
+        }
+        if tails:
+            results.update(
+                self._run(sorted(tails), self.step_frames, lengths=tails)
+            )
+            for i in tails:
+                self._reset_mask[i] = True
+        return results
 
-    def _run(self, ready: List[int], t: int) -> Dict[int, Dict]:
+    def flush_stream(self, stream: int) -> List[Dict]:
+        """Drain one stream's queued frames without stepping the
+        others (client disconnect / end-of-stream in a server): full
+        lockstep-size steps first, then ONE zero-padded, length-masked
+        dispatch for the sub-step remainder (a T=1 drain would pay the
+        ~RTT-sized dispatch floor once per remaining frame — measured
+        as the dominant cost of a serving daemon under many concurrent
+        disconnects). Returns that stream's results in order. See
+        flush() for why the padded tail is exact and why it finalizes
+        the slot."""
+        results: List[Dict] = []
+        while self._pending_feats[stream].shape[0] >= self.step_frames:
+            results.append(
+                self._run([stream], self.step_frames)[stream]
+            )
+        rem = self._pending_feats[stream].shape[0]
+        if rem:
+            results.append(
+                self._run(
+                    [stream], self.step_frames, lengths={stream: rem}
+                )[stream]
+            )
+            self._reset_mask[stream] = True
+        return results
+
+    def _run(
+        self,
+        ready: List[int],
+        t: int,
+        lengths: Optional[Dict[int, int]] = None,
+    ) -> Dict[int, Dict]:
+        """One batched dispatch over ``ready`` rows at chunk size
+        ``t``. ``lengths`` marks rows carrying fewer than ``t`` valid
+        frames (zero-padded tails); downstream consumption and decode
+        are masked to the valid prefix per row."""
         n, d = self.num_streams, self.feat_dim
         feats = np.zeros((n, t, d), np.float32)
         active = np.zeros((n,), bool)
+        tvalid: Dict[int, int] = {}
         for i in ready:
-            feats[i] = self._pending_feats[i][:t]
+            k = t
+            if lengths is not None and i in lengths:
+                k = min(int(lengths[i]), t)
+            feats[i, :k] = self._pending_feats[i][:k]
             active[i] = True
+            tvalid[i] = k
         reset = self._reset_mask.copy()
         self._reset_mask[:] = False
-        return self._dispatch(ready, t, feats, active, reset)
+        t0 = time.perf_counter()
+        out = self._dispatch(ready, t, feats, active, reset, tvalid)
+        self.stats["dispatches"] += 1
+        self.stats["rows"] += len(ready)
+        self.stats["frames"] += sum(tvalid.values())
+        self.stats["dispatch_s"] += time.perf_counter() - t0
+        return out
 
     def _consume(self, stream: int, t: int) -> np.ndarray:
         """Advance one stream's queue by ``t`` frames; returns the
@@ -168,7 +232,9 @@ class _BatchedStreamEngine:
         for i in range(self.num_streams):
             self.reset_stream(i)
 
-    def _dispatch(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
+    def _dispatch(
+        self, ready, t, feats, active, reset, tvalid
+    ) -> Dict[int, Dict]:
         raise NotImplementedError
 
     def _reset_host_state(self, stream: int) -> None:
@@ -283,13 +349,14 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
             )
 
             def combined_fn(
-                feats, active, reset, t0, cache, dstate,
+                feats, active, reset, t0, lens, cache, dstate,
                 kw_tok, kw_len, tokenset_mask,
             ):
                 probs, out_cache = step_fn(feats, active, reset, cache)
                 dstate, events = stream_detect_step(
                     dstate, probs, active, reset, t0,
-                    kw_tok, kw_len, tokenset_mask, **self._fsm,
+                    kw_tok, kw_len, tokenset_mask, lengths=lens,
+                    **self._fsm,
                 )
                 # one (5, N) f32 transfer per step — fetching the five
                 # event arrays separately costs ~5 tunnel RTTs/step,
@@ -310,9 +377,10 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
                 self._combined_jit = jax.jit(
                     combined_fn,
                     in_shardings=(
-                        row_s, row_s, row_s, row_s,  # feats/active/reset/t0
-                        row_s, row_s,                # cache, decode state
-                        rep_s, rep_s, rep_s,         # keyword tables
+                        row_s, row_s, row_s,  # feats/active/reset
+                        row_s, row_s,         # t0, lens
+                        row_s, row_s,         # cache, decode state
+                        rep_s, rep_s, rep_s,  # keyword tables
                     ),
                     out_shardings=(row_s, row_s, self._events_s),
                 )
@@ -350,22 +418,29 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
 
     # ------------- streaming -------------
 
-    def _dispatch(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
+    def _dispatch(
+        self, ready, t, feats, active, reset, tvalid
+    ) -> Dict[int, Dict]:
         import jax
 
         if self.device_decode:
-            return self._run_device(ready, t, feats, active, reset)
+            return self._run_device(
+                ready, t, feats, active, reset, tvalid
+            )
 
         probs, self.cache = self._step_jit(feats, active, reset, self.cache)
         probs = np.asarray(jax.device_get(probs))
 
         results: Dict[int, Dict] = {}
         for i in ready:
-            idx = self._consume(i, t)
-            results[i] = self.detectors[i].process(idx, probs[i])
+            k = tvalid[i]
+            idx = self._consume(i, k)
+            results[i] = self.detectors[i].process(idx, probs[i][:k])
         return results
 
-    def _run_device(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
+    def _run_device(
+        self, ready, t, feats, active, reset, tvalid
+    ) -> Dict[int, Dict]:
         """One dispatch: model + beam + FSM on device; the host only
         consumes the (N,)-shaped activation events."""
         import jax
@@ -376,11 +451,13 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
             )
         n = self.num_streams
         t0 = np.zeros((n,), np.int32)
+        lens = np.zeros((n,), np.int32)
         for i in ready:
             t0[i] = self._pending_idx[i][0]
+            lens[i] = tvalid[i]
         kw_tok, kw_len, mask = self._kw_arrays
         self.cache, self._dstate, packed = self._combined_jit(
-            feats, active, reset, t0, self.cache, self._dstate,
+            feats, active, reset, t0, lens, self.cache, self._dstate,
             kw_tok, kw_len, mask,
         )
         ev = np.asarray(jax.device_get(packed))  # (5, N), one transfer
@@ -388,7 +465,7 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
         results: Dict[int, Dict] = {}
         res = self.resolution
         for i in ready:
-            self._consume(i, t)
+            self._consume(i, tvalid[i])
             if ev[0, i]:
                 results[i] = {
                     "state": 1,
@@ -506,7 +583,9 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
         )
         self._init_streams(num_streams, step_frames)
 
-    def _dispatch(self, ready, t, feats, active, reset) -> Dict[int, Dict]:
+    def _dispatch(
+        self, ready, t, feats, active, reset, tvalid
+    ) -> Dict[int, Dict]:
         import jax
 
         probs, self.cache = self._step_jit(feats, active, reset, self.cache)
@@ -514,8 +593,9 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
 
         results: Dict[int, Dict] = {}
         for i in ready:
-            idx = self._consume(i, t)
-            results[i] = self._detect(i, idx, probs[i])
+            k = tvalid[i]
+            idx = self._consume(i, k)
+            results[i] = self._detect(i, idx, probs[i][:k])
         return results
 
     def _detect(self, stream: int, idx: np.ndarray, probs: np.ndarray):
