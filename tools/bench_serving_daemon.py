@@ -15,6 +15,93 @@ import threading
 import time
 
 
+def _paced_worker_proc(host, port, wav_paths, repeat, chunk_ms, q):
+    """A batch of paced realtime clients: threads inside one worker
+    PROCESS. Client threads in the SERVER process thrash its GIL
+    (measured 300 ms send lag at 64 streams); one process per client
+    drowns a small host in interpreters (433 s wall for a 13 s run on
+    4 cores). Paced threads sleep most of each 300 ms interval, so a
+    few worker processes with a handful of threads each keep both the
+    server and the host honest.
+
+    Pacing: chunk k is sent at t0 + (k+1)*chunk_s — the moment its
+    audio would have finished being captured. Detection latency for
+    an event ending at audio time A is
+    recv_time - (t0 + (floor(A/chunk_s)+1)*chunk_s): time from
+    'triggering audio available' to 'event on the client'. Events are
+    received via wait_events while pacing, so the send cadence does
+    not quantize the measurement."""
+    import threading as th
+
+    import numpy as np
+
+    from wekws_tpu.data.audio import read_wav
+    from wekws_tpu.serving import KwsClient
+
+    chunk_s = chunk_ms / 1000.0
+    out = {}
+
+    def one(j):
+        wave, sr = read_wav(wav_paths[j])
+        pcm = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+        pcm = pcm * max(repeat, 1)
+        chunk = 2 * int(sr * chunk_ms / 1000)
+        c = KwsClient(host, port, timeout=600)
+        # spread client phases across the chunk period — synchronized
+        # phases (every client's chunk landing in the same instant)
+        # are an unrealistic worst case that serializes into periodic
+        # bursts at the engine
+        time.sleep(chunk_s * (j % 16) / 16.0)
+        lats, nevents, max_lag = [], 0, 0.0
+        t0 = time.time()
+
+        def take(evs, sink):
+            nonlocal nevents
+            now = time.time()
+            for e in evs:
+                nevents += 1
+                at = e.get("time", e.get("end"))
+                if at is None:
+                    continue
+                avail = t0 + (int(at / chunk_s) + 1) * chunk_s
+                sink.append(now - avail)
+
+        for k, off in enumerate(range(0, len(pcm), chunk)):
+            target = t0 + (k + 1) * chunk_s
+            while True:
+                rem = target - time.time()
+                if rem <= 0:
+                    break
+                take(c.wait_events(rem), lats)
+            now = time.time()
+            if now > target:
+                max_lag = max(max_lag, now - target)
+            c.send_audio(pcm[off : off + chunk])
+            take(c.poll_events(), lats)
+        # events read during finish() are stamped after the EOS drain
+        # (the shared teardown, not steady-state serving) — tracked
+        # but excluded from the latency distribution
+        teardown = []
+        take(c.finish(), teardown)
+        out[j] = (lats, nevents, max_lag, len(pcm) / 2 / sr,
+                  len(teardown))
+
+    threads = [
+        th.Thread(target=one, args=(j,)) for j in range(len(wav_paths))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    q.put((
+        sum((out[j][0] for j in out), []),
+        sum(out[j][1] for j in out),
+        max(out[j][2] for j in out),
+        sum(out[j][3] for j in out),
+        sum(out[j][4] for j in out),
+    ))
+
+
 def _client_proc(host, port, wav_path, repeat, chunk, q):
     """One client in its own PROCESS (no GIL sharing with the server):
     streams a wav, returns (n_events, first_two_events)."""
@@ -60,6 +147,13 @@ def main():
                              "(spawn) instead of a thread — removes "
                              "client-side GIL contention from the "
                              "measurement")
+    parser.add_argument("--paced", action="store_true",
+                        help="clients send in REALTIME (chunk k is "
+                             "sent when its audio would have finished "
+                             "being captured) and the report is "
+                             "detection latency p50/p90/p99 instead "
+                             "of aggregate throughput — the "
+                             "production serving metric")
     args = parser.parse_args()
 
     import numpy as np
@@ -123,6 +217,59 @@ def main():
         wout = {}
         client(0, wout)
         print(f"warmup: {len(wout[0])} events")
+
+    if args.paced:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        n_workers = min(3, args.streams)  # leave a core for the server
+        shards = [
+            [args.wav_paths[i % len(args.wav_paths)]
+             for i in range(args.streams) if i % n_workers == w]
+            for w in range(n_workers)
+        ]
+        procs = [
+            ctx.Process(
+                target=_paced_worker_proc,
+                args=("127.0.0.1", server.port, shard,
+                      args.repeat, args.chunk_ms, q),
+            )
+            for shard in shards
+        ]
+        t0 = time.perf_counter()
+        for p in procs:
+            p.start()
+        results = [q.get() for _ in range(n_workers)]
+        for p in procs:
+            p.join()
+        wall = time.perf_counter() - t0
+        import numpy as _np
+
+        lats = _np.array(sorted(sum((r[0] for r in results), [])))
+        nevents = sum(r[1] for r in results)
+        max_lag = max(r[2] for r in results)
+        audio_s = sum(r[3] for r in results)
+        n_teardown = sum(r[4] for r in results)
+        if len(lats):
+            q = _np.quantile(lats, [0.5, 0.9, 0.99]) * 1e3
+            print(
+                f"paced: {args.streams} realtime streams, "
+                f"{audio_s:.0f} audio-s in {wall:.1f}s wall, "
+                f"{nevents} events; steady-state detection latency "
+                f"p50 {q[0]:.0f} ms, p90 {q[1]:.0f} ms, "
+                f"p99 {q[2]:.0f} ms, max {lats[-1] * 1e3:.0f} ms; "
+                f"max client send-lag {max_lag * 1e3:.0f} ms; "
+                f"{n_teardown} events delivered during EOS teardown "
+                f"(excluded)"
+            )
+        else:
+            print("paced: no events fired")
+        fut = asyncio.run_coroutine_threadsafe(
+            server.stop(), loop_holder["loop"]
+        )
+        fut.result(10)
+        return
 
     if args.client_procs:
         import multiprocessing as mp

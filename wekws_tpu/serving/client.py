@@ -70,6 +70,22 @@ class KwsClient:
             if msg[0] == P.MSG_EVENT:
                 events.append(msg[1])
 
+    def wait_events(self, timeout: float) -> List[Dict]:
+        """Block up to ``timeout`` seconds, returning as soon as at
+        least one event arrives (possibly empty on timeout or when
+        only a partial frame is buffered). Lets a paced caller receive
+        events the moment the server emits them instead of at its next
+        send."""
+        import select
+
+        events = self.poll_events()
+        if events:
+            return events
+        r, _, _ = select.select([self.sock], [], [], max(timeout, 0.0))
+        if not r:
+            return []
+        return self.poll_events()
+
     def _read_msg(self, blocking: bool):
         """One framed message, or None (non-blocking, nothing there /
         connection closed)."""
