@@ -647,3 +647,43 @@ class TestBatchMaxPoolSpotter:
         assert eng._reset_mask[0] and not eng._reset_mask[1]
         # the padded rows beyond the tail produced no phantom frames
         assert eng.pending_frames(0) == 0
+
+    def test_multiple_same_chunk_events_not_dropped(
+        self, maxpool_spotter_setup
+    ):
+        """Two keywords crossing threshold in ONE chunk: the engine
+        contract stays one-result-per-step, but the second event
+        queues (backlog) and surfaces on a later step or at flush —
+        never silently dropped (it used to be, since the chunk's
+        frames are consumed and never re-examined)."""
+        from wekws_tpu.runtime import BatchMaxPoolSpotter
+
+        ckpt, config = maxpool_spotter_setup
+        eng = BatchMaxPoolSpotter(
+            ckpt, config, threshold=0.5, num_streams=1, step_frames=8,
+            interval_frames=20, keyword_names=["hey", "ok"],
+        )
+
+        def fake_step(feats, active, reset, cache):
+            t = feats.shape[1]
+            probs = np.zeros((1, t, 2), np.float32)
+            probs[0, :, 0] = 0.7  # 'hey' hot every frame
+            probs[0, :, 1] = 0.9  # 'ok' hotter every frame
+            return probs, cache
+        eng._step_jit = fake_step
+
+        # exactly one 8-frame chunk + a 3-frame tail
+        eng.accept_wave(0, np.zeros(2 * 160 * 11, "<i2").tobytes())
+        first = eng.step()[0]
+        assert first["state"] == 1 and first["keyword"] == "ok"
+        # 'hey' fired in the same chunk (frame 0, argmax picked 'ok'
+        # first; 'hey' fires at the next scanned frame) — it must
+        # arrive via the flush drain, not vanish
+        tail = [r for r in eng.flush_stream(0) if r["state"] == 1]
+        assert any(r["keyword"] == "hey" for r in tail)
+        # refractory held per keyword: no duplicate within 20 frames
+        frames = {}
+        for r in [first] + tail:
+            frames.setdefault(r["keyword"], []).append(r["frame"])
+        for kw, fr in frames.items():
+            assert all(b - a > 20 for a, b in zip(fr, fr[1:]))

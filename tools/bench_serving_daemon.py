@@ -93,12 +93,15 @@ def _paced_worker_proc(host, port, wav_paths, repeat, chunk_ms, q):
         t.start()
     for t in threads:
         t.join()
+    # always put SOMETHING, even if every client errored — the parent
+    # blocks on q.get() per worker and would deadlock otherwise
     q.put((
         sum((out[j][0] for j in out), []),
         sum(out[j][1] for j in out),
-        max(out[j][2] for j in out),
+        max((out[j][2] for j in out), default=0.0),
         sum(out[j][3] for j in out),
         sum(out[j][4] for j in out),
+        len(wav_paths) - len(out),  # clients that failed
     ))
 
 
@@ -251,6 +254,9 @@ def main():
         max_lag = max(r[2] for r in results)
         audio_s = sum(r[3] for r in results)
         n_teardown = sum(r[4] for r in results)
+        n_failed = sum(r[5] for r in results)
+        if n_failed:
+            print(f"WARNING: {n_failed} clients failed")
         if len(lats):
             q = _np.quantile(lats, [0.5, 0.9, 0.99]) * 1e3
             print(
@@ -293,6 +299,9 @@ def main():
         for p in procs:
             p.join()
         wall = max(r[3] for r in results) - min(r[2] for r in results)
+        # queue order is completion order, NOT stream order — keys are
+        # arrival ranks, so the sample prints below say "client", and
+        # events are not attributed to a particular wav
         out = {i: r[1] for i, r in enumerate(results)}
         total_events = sum(r[0] for r in results)
     else:
@@ -310,11 +319,12 @@ def main():
         total_events = sum(len(v) for v in out.values())
 
     audio_s = sum(len(p) for p in pcms) / 2 / sr
+    label = "client" if args.client_procs else "stream"
     for i in sorted(out):
         for e in out[i][:2]:
             kw = e.get("keyword")
             when = e.get("time", e.get("start"))
-            print(f"stream {i}: {kw} at {when:.2f}s score {e['score']:.3f}")
+            print(f"{label} {i}: {kw} at {when:.2f}s score {e['score']:.3f}")
     print(
         f"{args.streams} clients, {audio_s:.1f} audio-s, "
         f"{total_events} events in {wall:.2f}s "

@@ -25,8 +25,12 @@ Correctness under batching:
 * **Stream resets** (slot reuse, client disconnect) zero that row's
   cache via a reset mask consumed by the same program — no per-stream
   dispatch ever happens.
-* **`flush()`** drains sub-`step_frames` remainders with a T=1
-  program (second and last compiled shape).
+* **`flush()` / `flush_stream()`** drain sub-`step_frames` remainders
+  with ONE zero-padded dispatch of the same compiled shape, masked to
+  each row's valid length (a T=1 drain would pay the ~RTT dispatch
+  floor once per remaining frame). The valid prefix is exact by the
+  causality above; the cache row is undefined past it, so flushing
+  finalizes the stream (the row resets before its next use).
 
 Detection activation resets only the beam (reference semantics,
 stream_kws_ctc.py:495-501) — the conv cache intentionally carries
@@ -64,7 +68,8 @@ class _BatchedStreamEngine:
     """Shared multi-stream machinery: per-stream frontends, pending
     feature queues, lockstep step/flush scheduling and reset masks.
 
-    Subclasses implement ``_dispatch(ready, t, feats, active, reset)``
+    Subclasses implement
+    ``_dispatch(ready, t, feats, active, reset, tvalid)``
     (one batched device step + per-stream result extraction) and
     ``_reset_host_state(stream)`` (clear per-stream decode state)."""
 
@@ -85,6 +90,11 @@ class _BatchedStreamEngine:
         ]
         self._reset_mask = np.zeros((num_streams,), bool)
         self.cache = self.model.init_cache(num_streams)
+        # overflow events beyond the one-result-per-step contract
+        # (kept per stream, surfaced on later steps or at flush)
+        self._event_backlog: List[List[Dict]] = [
+            [] for _ in range(num_streams)
+        ]
         # dispatch-batching observability: every _run() counts here,
         # whichever public path (step/flush/flush_stream) invoked it
         self.stats = {"dispatches": 0, "rows": 0, "frames": 0,
@@ -151,6 +161,13 @@ class _BatchedStreamEngine:
             )
             for i in tails:
                 self._reset_mask[i] = True
+        for i in range(self.num_streams):
+            drained = self._drain_backlog(i)
+            if drained:
+                # flush() keeps one (the last) result per stream; a
+                # caller that must see every overflow event drains via
+                # step()/flush_stream() (the serving daemon's path)
+                results[i] = drained[-1]
         return results
 
     def flush_stream(self, stream: int) -> List[Dict]:
@@ -176,7 +193,14 @@ class _BatchedStreamEngine:
                 )[stream]
             )
             self._reset_mask[stream] = True
+        results.extend(self._drain_backlog(stream))
         return results
+
+    def _drain_backlog(self, stream: int) -> List[Dict]:
+        """Queued overflow events (beyond one-result-per-step)."""
+        out = self._event_backlog[stream]
+        self._event_backlog[stream] = []
+        return out
 
     def _run(
         self,
@@ -595,11 +619,31 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
         for i in ready:
             k = tvalid[i]
             idx = self._consume(i, k)
-            results[i] = self._detect(i, idx, probs[i][:k])
+            # one result per stream per step (the engine contract,
+            # same as the CTC FSM's one-activation-per-chunk); extra
+            # same-chunk fires queue and surface on later steps or at
+            # flush, rather than being dropped
+            bl = self._event_backlog[i]
+            bl.extend(self._detect_events(i, idx, probs[i][:k]))
+            results[i] = bl.pop(0) if bl else dict(self._NO_FIRE)
         return results
 
-    def _detect(self, stream: int, idx: np.ndarray, probs: np.ndarray):
+    _NO_FIRE = {
+        "state": 0, "keyword": None, "frame": None,
+        "time": None, "score": None,
+    }
+
+    def _detect_events(
+        self, stream: int, idx: np.ndarray, probs: np.ndarray
+    ) -> List[Dict]:
+        """ALL threshold crossings in the chunk, refractory applied in
+        frame order. Scanning past the first fire matters: a second
+        keyword firing later in the same chunk would otherwise never
+        be re-examined (its frames are consumed) — with the batched
+        tail flush there is no next chunk at end-of-stream to catch
+        it."""
         hit = probs >= self.threshold  # (T, K)
+        fires: List[Dict] = []
         for row, frame in enumerate(idx):
             open_k = np.flatnonzero(
                 hit[row]
@@ -609,17 +653,15 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
                 continue
             k = int(open_k[np.argmax(probs[row, open_k])])
             self._last_fire[stream, k] = frame
-            return {
+            fires.append({
                 "state": 1,
                 "keyword": self.keyword_names[k],
                 "frame": int(frame),
                 "time": float(frame) * self.resolution,
                 "score": float(probs[row, k]),
-            }
-        return {
-            "state": 0, "keyword": None, "frame": None,
-            "time": None, "score": None,
-        }
+            })
+        return fires
 
     def _reset_host_state(self, stream: int) -> None:
         self._last_fire[stream, :] = -(10**9)
+        self._event_backlog[stream] = []

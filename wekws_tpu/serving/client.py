@@ -19,6 +19,10 @@ from wekws_tpu.serving import protocol as P
 
 class KwsClient:
     def __init__(self, host: str, port: int, timeout: float = 30.0):
+        """timeout bounds every blocking operation (connect, blocking
+        reads, sends); a stalled server raises socket.timeout instead
+        of hanging the caller forever."""
+        self.timeout = timeout
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
         self.closed = False
@@ -88,8 +92,14 @@ class KwsClient:
 
     def _read_msg(self, blocking: bool):
         """One framed message, or None (non-blocking, nothing there /
-        connection closed)."""
-        self.sock.setblocking(blocking)
+        connection closed). Blocking reads honor self.timeout —
+        setblocking(True) would erase it (it is settimeout(None)) and
+        a stalled server would hang the caller forever; on expiry
+        socket.timeout propagates."""
+        if blocking:
+            self.sock.settimeout(self.timeout)
+        else:
+            self.sock.setblocking(False)
         try:
             while True:
                 if len(self._buf) >= P.HEADER_SIZE:
@@ -106,7 +116,7 @@ class KwsClient:
                 if not chunk:
                     return None
                 self._buf += chunk
-        except (BlockingIOError, socket.timeout):
+        except BlockingIOError:
             return None
         finally:
-            self.sock.setblocking(True)
+            self.sock.settimeout(self.timeout)

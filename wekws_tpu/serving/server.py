@@ -95,6 +95,13 @@ class KwsServer:
                 pass
         if self._server:
             self._server.close()
+            # close established connections too: since Python 3.12.1
+            # wait_closed() waits for connection handlers, and a
+            # handler parked in readexactly() on an idle client would
+            # otherwise never finish — stop() would hang
+            for w in list(self._writers.values()):
+                if not w.is_closing():
+                    w.close()
             await self._server.wait_closed()
         self._exec.shutdown(wait=True)
 
@@ -153,7 +160,16 @@ class KwsServer:
                 t0 = _time.perf_counter()
                 await self._coalesce()
                 t1 = _time.perf_counter()
-                results = await self._engine_call(self.engine.step)
+                try:
+                    results = await self._engine_call(self.engine.step)
+                except Exception:
+                    # a dead stepper silently freezes every client;
+                    # log and keep serving (transient device/tunnel
+                    # errors recover; persistent ones keep logging at
+                    # a bounded rate instead of spinning)
+                    logging.exception("engine step failed")
+                    await asyncio.sleep(0.5)
+                    continue
                 t2 = _time.perf_counter()
                 self.stats["coalesce_s"] += t1 - t0
                 if not results:
@@ -163,12 +179,27 @@ class KwsServer:
                 self.stats["step_s"] += t2 - t1
                 self._emit(results)
 
+    # a client that feeds audio but never reads events would grow its
+    # write buffer without bound; past this cap it is disconnected
+    MAX_WRITE_BUFFER = 1 << 20
+
     def _emit(self, results: Dict[int, Dict]) -> None:
         for slot, r in results.items():
             if r and r.get("state") == 1:
                 self.stats["events"] += 1
                 w = self._writers.get(slot)
                 if w is not None and not w.is_closing():
+                    if (
+                        w.transport.get_write_buffer_size()
+                        > self.MAX_WRITE_BUFFER
+                    ):
+                        logging.warning(
+                            "slot %d: client not reading events "
+                            "(write buffer over %d bytes) — closing",
+                            slot, self.MAX_WRITE_BUFFER,
+                        )
+                        w.close()
+                        continue
                     w.write(P.pack_json(P.MSG_EVENT, r))
 
     # ------------- connections -------------
@@ -231,8 +262,10 @@ class KwsServer:
                     ))
                     await writer.drain()
                     break
-        except (asyncio.IncompleteReadError, ConnectionResetError):
-            pass  # client went away; just release the slot
+        except (asyncio.IncompleteReadError, ConnectionError):
+            # client went away (reset, or broke the pipe by closing
+            # without reading our BYE); just release the slot
+            pass
         except ValueError as e:  # oversized frame
             logging.warning("slot %d: %s", slot, e)
         finally:
