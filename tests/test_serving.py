@@ -196,3 +196,125 @@ class TestKwsServer:
             c1.close()
         finally:
             st.stop()
+
+
+class TestServeDaemonMesh:
+    """bin/serve.py --mesh_devices: the daemon's build path constructs
+    a stream-axis-sharded engine and serves it over TCP.  Engine-level
+    sharded==single exactness is pinned in test_device_stream.py; this
+    covers the daemon wiring — build_engine's Namespace handling plus
+    event delivery off a mesh-sharded engine — by A/B-ing the full
+    client→TCP→engine→event path with and without the mesh."""
+
+    def _build_args(self, tmp_path, mesh_devices):
+        return _real_engine_args(tmp_path, mesh_devices)
+
+    def _serve_events(self, engine, pcm):
+        from wekws_tpu.serving import KwsClient
+
+        st = _ServerThread(engine)
+        try:
+            with KwsClient("127.0.0.1", st.port) as c:
+                for off in range(0, len(pcm), 6400):
+                    c.send_audio(pcm[off : off + 6400])
+                events = c.finish()
+        finally:
+            st.stop()
+        return [(e["keyword"], e["frame"]) for e in events]
+
+    def test_mesh_daemon_matches_unsharded(self, tmp_path, rng):
+        from wekws_tpu.bin.serve import build_engine
+
+        pcm = (rng.standard_normal(32000) * 3000).astype("<i2").tobytes()
+        base = self._serve_events(
+            build_engine(self._build_args(tmp_path / "a", 0)), pcm
+        )
+        sharded = self._serve_events(
+            build_engine(self._build_args(tmp_path / "b", 8)), pcm
+        )
+        assert sharded == base
+        assert base, "threshold too high — no events; test is vacuous"
+
+
+def _real_engine_args(tmp_path, mesh_devices):
+    """bin/serve.py-shaped Namespace over a real (unstubbed) tiny
+    max-pooling model written under ``tmp_path``."""
+    import argparse
+
+    import jax
+    import yaml as _yaml
+
+    from wekws_tpu.models import init_model
+    from wekws_tpu.train import save_checkpoint
+
+    configs = {
+        "dataset_conf": {
+            "feats_type": "fbank",
+            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                           "frame_length": 25, "dither": 0.0},
+        },
+        "model": {
+            "input_dim": 23, "output_dim": 2, "hidden_dim": 16,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
+                         "kernel_size": 4, "dropout": 0.0},
+        },
+    }
+    tmp_path.mkdir(parents=True, exist_ok=True)
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(_yaml.dump(configs))
+    model = init_model(configs["model"])
+    variables = model.init(
+        jax.random.PRNGKey(7), np.zeros((1, 10, 23), np.float32)
+    )
+    ckpt = tmp_path / "final.ckpt"
+    save_checkpoint(
+        str(ckpt), variables["params"], variables.get("batch_stats", {})
+    )
+    return argparse.Namespace(
+        maxpool=True, keywords="hey,ok", config=str(config_path),
+        checkpoint=str(ckpt), threshold=0.05, streams=8,
+        step_frames=8, interval_frames=30, mesh_devices=mesh_devices,
+        token_file=None, lexicon_file=None, min_frames=5,
+        max_frames=250, score_beam=3, path_beam=20,
+        device_decode=False,
+    )
+
+
+class TestWarmupAndCompileCache:
+    def test_warmup_engine_leaves_clean_slots(self, tmp_path, rng):
+        """warmup_engine compiles via slot 0 then resets it; a client
+        arriving afterwards sees fresh state (frame clock at 0)."""
+        from wekws_tpu.bin.serve import build_engine, warmup_engine
+        from wekws_tpu.serving import KwsClient
+
+        eng = build_engine(_real_engine_args(tmp_path, 0))
+        warmup_engine(eng)
+        assert eng.pending_frames(0) == 0
+        assert eng.step() == {}  # nothing active after warmup
+        st = _ServerThread(eng)
+        try:
+            pcm = (rng.standard_normal(16000) * 3000).astype("<i2")
+            with KwsClient("127.0.0.1", st.port) as c:
+                c.send_audio(pcm.tobytes())
+                events = c.finish()
+        finally:
+            st.stop()
+        assert events and events[0]["frame"] < 50
+
+    def test_compilation_cache_populates(self, tmp_path):
+        """--compilation_cache_dir persists compiled serving programs
+        so a daemon restart skips the XLA compile."""
+        import jax
+
+        from wekws_tpu.bin.common import enable_compilation_cache
+        from wekws_tpu.bin.serve import build_engine, warmup_engine
+
+        cache = tmp_path / "xla_cache"
+        enable_compilation_cache(str(cache))
+        try:
+            eng = build_engine(_real_engine_args(tmp_path, 0))
+            warmup_engine(eng)
+            assert any(cache.iterdir()), "cache dir stayed empty"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", None)

@@ -62,3 +62,19 @@ def make_forward_fn(model, variables, pipeline, softmax: bool = False):
         return np.asarray(out), np.asarray(lengths)
 
     return forward
+
+
+def enable_compilation_cache(cache_dir: str) -> None:
+    """Persistent XLA compilation cache rooted at ``cache_dir``.
+
+    A restarted daemon (or a re-launched training job) on the same
+    topology reloads its compiled programs from disk instead of paying
+    the multi-second TPU compile again — the difference between a
+    ~30 s and a sub-second serving cold start.  Thresholds are zeroed
+    so even small serving programs (step + tail-flush) are cached.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -21,6 +21,7 @@ of the 5-byte-framed protocol).
 import argparse
 import asyncio
 import logging
+import time
 
 
 def get_args():
@@ -47,7 +48,27 @@ def get_args():
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the stream axis over the first N "
                              "devices (0 = single device)")
+    parser.add_argument("--compilation_cache_dir", default=None,
+                        help="persistent XLA compilation cache: daemon "
+                             "restarts reload compiled programs from "
+                             "this directory instead of recompiling")
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the serving programs before the "
+                             "port opens so the first clients never "
+                             "pay the XLA compile")
     return parser.parse_args()
+
+
+def warmup_engine(engine):
+    """One dummy step + tail flush on slot 0: every later dispatch
+    reuses the same fixed (streams, step_frames, dim) program, so this
+    compiles the full serving surface (step and padded flush share one
+    jitted program — see BatchSpotterBase._run)."""
+    need = (engine.step_frames * 160 + 400) * 2 + 16000
+    engine.accept_wave(0, bytes(2 * need))
+    engine.step()
+    engine.flush_stream(0)
+    engine.reset_all()
 
 
 def build_engine(args):
@@ -95,7 +116,17 @@ def main():
     )
     from wekws_tpu.serving import KwsServer
 
-    server = KwsServer(build_engine(args), args.host, args.port)
+    if args.compilation_cache_dir:
+        from wekws_tpu.bin.common import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache_dir)
+    engine = build_engine(args)
+    if args.warmup:
+        logging.info("warmup: compiling serving programs...")
+        t0 = time.perf_counter()
+        warmup_engine(engine)
+        logging.info("warmup done in %.1fs", time.perf_counter() - t0)
+    server = KwsServer(engine, args.host, args.port)
     try:
         asyncio.run(server.serve_forever())
     except KeyboardInterrupt:

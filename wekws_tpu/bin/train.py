@@ -44,6 +44,10 @@ def get_args():
                         help="write a jax.profiler trace of early steps")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="data-loading worker processes")
+    parser.add_argument("--compilation_cache_dir", default=None,
+                        help="persistent XLA compilation cache: "
+                             "re-launched jobs on the same topology "
+                             "reload compiled train/cv steps from disk")
     return parser.parse_args()
 
 
@@ -58,6 +62,11 @@ def main():
     from wekws_tpu.parallel.mesh import distributed_init
 
     distributed_init(args.coordinator, args.num_processes, args.process_id)
+
+    if args.compilation_cache_dir:
+        from wekws_tpu.bin.common import enable_compilation_cache
+
+        enable_compilation_cache(args.compilation_cache_dir)
 
     import jax
 
