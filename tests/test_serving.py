@@ -38,21 +38,21 @@ class TestProtocol:
             P.unpack_header(big[: P.HEADER_SIZE])
 
 
-def _make_engine(tmp_path, num_streams):
-    """Tiny max-pooling engine with a stubbed device step: keyword 1
-    ('ok') hot at 0.9 on every frame."""
+def _write_tiny_model(tmp_path, *, dither, seed):
+    """Write the shared tiny DS-TCN max-pooling test model (config yaml
+    + checkpoint) under ``tmp_path``; returns (config_path, ckpt_path).
+    Single source for every engine/daemon fixture in this file."""
     import jax
     import yaml as _yaml
 
     from wekws_tpu.models import init_model
-    from wekws_tpu.runtime import BatchMaxPoolSpotter
     from wekws_tpu.train import save_checkpoint
 
     configs = {
         "dataset_conf": {
             "feats_type": "fbank",
             "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
-                           "frame_length": 25, "dither": 1.0},
+                           "frame_length": 25, "dither": dither},
         },
         "model": {
             "input_dim": 23, "output_dim": 2, "hidden_dim": 16,
@@ -61,16 +61,26 @@ def _make_engine(tmp_path, num_streams):
                          "kernel_size": 4, "dropout": 0.0},
         },
     }
+    tmp_path.mkdir(parents=True, exist_ok=True)
     config_path = tmp_path / "config.yaml"
     config_path.write_text(_yaml.dump(configs))
     model = init_model(configs["model"])
     variables = model.init(
-        jax.random.PRNGKey(0), np.zeros((1, 10, 23), np.float32)
+        jax.random.PRNGKey(seed), np.zeros((1, 10, 23), np.float32)
     )
     ckpt = tmp_path / "final.ckpt"
     save_checkpoint(
         str(ckpt), variables["params"], variables.get("batch_stats", {})
     )
+    return config_path, ckpt
+
+
+def _make_engine(tmp_path, num_streams):
+    """Tiny max-pooling engine with a stubbed device step: keyword 1
+    ('ok') hot at 0.9 on every frame."""
+    from wekws_tpu.runtime import BatchMaxPoolSpotter
+
+    config_path, ckpt = _write_tiny_model(tmp_path, dither=1.0, seed=0)
     eng = BatchMaxPoolSpotter(
         str(ckpt), str(config_path), threshold=0.5,
         num_streams=num_streams, step_frames=8, interval_frames=30,
@@ -206,9 +216,6 @@ class TestServeDaemonMesh:
     event delivery off a mesh-sharded engine — by A/B-ing the full
     client→TCP→engine→event path with and without the mesh."""
 
-    def _build_args(self, tmp_path, mesh_devices):
-        return _real_engine_args(tmp_path, mesh_devices)
-
     def _serve_events(self, engine, pcm):
         from wekws_tpu.serving import KwsClient
 
@@ -227,10 +234,10 @@ class TestServeDaemonMesh:
 
         pcm = (rng.standard_normal(32000) * 3000).astype("<i2").tobytes()
         base = self._serve_events(
-            build_engine(self._build_args(tmp_path / "a", 0)), pcm
+            build_engine(_real_engine_args(tmp_path / "a", 0)), pcm
         )
         sharded = self._serve_events(
-            build_engine(self._build_args(tmp_path / "b", 8)), pcm
+            build_engine(_real_engine_args(tmp_path / "b", 8)), pcm
         )
         assert sharded == base
         assert base, "threshold too high — no events; test is vacuous"
@@ -241,36 +248,7 @@ def _real_engine_args(tmp_path, mesh_devices):
     max-pooling model written under ``tmp_path``."""
     import argparse
 
-    import jax
-    import yaml as _yaml
-
-    from wekws_tpu.models import init_model
-    from wekws_tpu.train import save_checkpoint
-
-    configs = {
-        "dataset_conf": {
-            "feats_type": "fbank",
-            "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
-                           "frame_length": 25, "dither": 0.0},
-        },
-        "model": {
-            "input_dim": 23, "output_dim": 2, "hidden_dim": 16,
-            "preprocessing": {"type": "linear"},
-            "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
-                         "kernel_size": 4, "dropout": 0.0},
-        },
-    }
-    tmp_path.mkdir(parents=True, exist_ok=True)
-    config_path = tmp_path / "config.yaml"
-    config_path.write_text(_yaml.dump(configs))
-    model = init_model(configs["model"])
-    variables = model.init(
-        jax.random.PRNGKey(7), np.zeros((1, 10, 23), np.float32)
-    )
-    ckpt = tmp_path / "final.ckpt"
-    save_checkpoint(
-        str(ckpt), variables["params"], variables.get("batch_stats", {})
-    )
+    config_path, ckpt = _write_tiny_model(tmp_path, dither=0.0, seed=7)
     return argparse.Namespace(
         maxpool=True, keywords="hey,ok", config=str(config_path),
         checkpoint=str(ckpt), threshold=0.05, streams=8,
@@ -292,6 +270,10 @@ class TestWarmupAndCompileCache:
         warmup_engine(eng)
         assert eng.pending_frames(0) == 0
         assert eng.step() == {}  # nothing active after warmup
+        # dispatch stats are cleared too — the warmup's compile time
+        # must not skew later 'avg dispatch' readouts
+        assert eng.stats["dispatches"] == 0
+        assert eng.stats["dispatch_s"] == 0.0
         st = _ServerThread(eng)
         try:
             pcm = (rng.standard_normal(16000) * 3000).astype("<i2")
@@ -311,10 +293,19 @@ class TestWarmupAndCompileCache:
         from wekws_tpu.bin.serve import build_engine, warmup_engine
 
         cache = tmp_path / "xla_cache"
+        # enable_compilation_cache mutates three global config values;
+        # restore ALL of them so later tests aren't order-dependent.
+        keys = (
+            "jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes",
+        )
+        saved = {k: getattr(jax.config, k) for k in keys}
         enable_compilation_cache(str(cache))
         try:
             eng = build_engine(_real_engine_args(tmp_path, 0))
             warmup_engine(eng)
             assert any(cache.iterdir()), "cache dir stayed empty"
         finally:
-            jax.config.update("jax_compilation_cache_dir", None)
+            for k, v in saved.items():
+                jax.config.update(k, v)

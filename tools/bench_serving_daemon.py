@@ -220,6 +220,11 @@ def main():
         wout = {}
         client(0, wout)
         print(f"warmup: {len(wout[0])} events")
+        # the XLA compile landed inside the warmup client's dispatches;
+        # clear the counters so the printed averages reflect steady state
+        server.engine.stats = {
+            k: type(v)() for k, v in server.engine.stats.items()
+        }
 
     if args.paced:
         import multiprocessing as mp

@@ -60,15 +60,29 @@ def get_args():
 
 
 def warmup_engine(engine):
-    """One dummy step + tail flush on slot 0: every later dispatch
+    """One full step + tail flush on slot 0: every later dispatch
     reuses the same fixed (streams, step_frames, dim) program, so this
-    compiles the full serving surface (step and padded flush share one
-    jitted program — see BatchSpotterBase._run)."""
-    need = (engine.step_frames * 160 + 400) * 2 + 16000
-    engine.accept_wave(0, bytes(2 * need))
+    compiles the full serving surface (full step and padded flush share
+    one jitted program — see _BatchedStreamEngine._run in
+    wekws_tpu/runtime/batch_spotter.py).  Feeds silence until just past
+    one step's worth of FEATURE frames (the frontend may splice and
+    frame-skip, so samples->frames is not static arithmetic), keeping
+    the flush to a couple of dispatches instead of a long serial drain.
+    Stream state AND dispatch stats are cleared afterwards — the XLA
+    compile lands inside the first dispatch's timing and would
+    otherwise skew every later stats readout."""
+    cfg = engine.frontends[0].cfg
+    chunk = bytes(
+        2 * (cfg.frame_length + engine.step_frames * cfg.frame_shift)
+    )
+    while engine.pending_frames(0) <= engine.step_frames:
+        engine.accept_wave(0, chunk)
     engine.step()
     engine.flush_stream(0)
     engine.reset_all()
+    engine.stats = {
+        k: type(v)() for k, v in engine.stats.items()
+    }
 
 
 def build_engine(args):
