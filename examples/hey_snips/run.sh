@@ -1,21 +1,26 @@
 #!/bin/bash
 # Hey Snips wake-word recipe (TPU-native).  Staged like the reference
 # (examples/hey_snips/s0/run.sh): data prep -> cmvn -> train -> average
-# -> score -> DET.  Usage: ./run.sh <stage> <stop_stage>
+# -> score -> DET.
+# Usage: ./run.sh [--flag value ...] <stage> <stop_stage>
+#   e.g. ./run.sh --config conf/mdtc_small.yaml 0 4
 set -eo pipefail
 
 . ./path.sh
 
-stage=${1:-0}
-stop_stage=${2:-4}
-
+stage=0
+stop_stage=4
 config=conf/ds_tcn.yaml
 download_dir=./data/local
-dir=exp/ds_tcn
 num_average=30
-score_checkpoint=$dir/avg_${num_average}.ckpt
 
-. tools/parse_options.sh 2>/dev/null || true
+# Kaldi convention: leading --flag value pairs override the defaults
+# above; positional <stage> <stop_stage> follow the flags.
+. ../../tools/parse_options.sh
+stage=${1:-$stage}
+stop_stage=${2:-$stop_stage}
+dir=exp/$(basename $config .yaml)
+score_checkpoint=$dir/avg_${num_average}.ckpt
 
 if [ ${stage} -le 0 ] && [ ${stop_stage} -ge 0 ]; then
   echo "Stage 0: prepare hey_snips data lists"

@@ -1,23 +1,30 @@
 #!/bin/bash
 # Hi Xiaowen / Nihao Wenwen (mobvoi_hotword) recipe, max-pooling path.
 # Staged like the reference (examples/hi_xiaowen/s0/run.sh).
-# Usage: ./run.sh <stage> <stop_stage>
+# Usage: ./run.sh [--flag value ...] <stage> <stop_stage>
+#   e.g. ./run.sh --config conf/mdtc.yaml 0 3
 set -eo pipefail
 
 . ./path.sh
 
-stage=${1:--1}
-stop_stage=${2:-3}
+stage=-1
+stop_stage=3
 num_keywords=2
 config=conf/ds_tcn.yaml
-dir=exp/ds_tcn
 num_average=30
-score_checkpoint=$dir/avg_${num_average}.ckpt
 download_dir=./data/local
 window_shift=50
 # mobvoi_hotword_dataset (openslr-87 mirror, same source as reference
 # examples/hi_xiaowen/s0/run.sh stage -1)
 data_url=https://www.openslr.org/resources/87
+
+# Kaldi convention: leading --flag value pairs override the defaults
+# above; positional <stage> <stop_stage> follow the flags.
+. ../../tools/parse_options.sh
+stage=${1:-$stage}
+stop_stage=${2:-$stop_stage}
+dir=exp/$(basename $config .yaml)
+score_checkpoint=$dir/avg_${num_average}.ckpt
 
 if [ ${stage} -le -1 ] && [ ${stop_stage} -ge -1 ]; then
   echo "Stage -1: download mobvoi_hotword_dataset"

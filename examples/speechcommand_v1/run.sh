@@ -1,20 +1,26 @@
 #!/bin/bash
 # Google Speech Commands v1 (12-class) recipe.
-# Usage: ./run.sh <stage> <stop_stage>
+# Usage: ./run.sh [--flag value ...] <stage> <stop_stage>
 set -eo pipefail
 
 . ./path.sh
 
-stage=${1:--1}
-stop_stage=${2:-3}
+stage=-1
+stop_stage=3
 config=conf/mdtc.yaml
-dir=exp/mdtc
 num_average=10
-score_checkpoint=$dir/avg_${num_average}.ckpt
 download_dir=./data/local
 # Speech Commands v1 archive (same source as the reference recipe,
 # /root/reference/examples/speechcommand_v1/s0/run.sh stage -1)
 data_url=http://download.tensorflow.org/data/speech_commands_v0.01.tar.gz
+
+# Kaldi convention: leading --flag value pairs override the defaults
+# above; positional <stage> <stop_stage> follow the flags.
+. ../../tools/parse_options.sh
+stage=${1:-$stage}
+stop_stage=${2:-$stop_stage}
+dir=exp/$(basename $config .yaml)
+score_checkpoint=$dir/avg_${num_average}.ckpt
 
 if [ ${stage} -le -1 ] && [ ${stop_stage} -ge -1 ]; then
   echo "Stage -1: download and extract Google Speech Commands v1"
