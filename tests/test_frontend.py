@@ -249,3 +249,45 @@ class TestWaveDither:
         np.testing.assert_allclose(
             np.asarray(f1), np.asarray(f0), atol=0.5
         )
+
+
+class TestConfigSchemas:
+    """frontend_from_dataset_conf accepts BOTH reference config
+    schemas: legacy ``feature_extraction_conf`` (feature_type inside,
+    e.g. /root/reference/examples/hi_xiaowen/s0/conf/ds_tcn_ctc_base.yaml)
+    and the new ``feats_type`` + ``<type>_conf`` layout."""
+
+    def test_legacy_schema_equals_new_schema(self, rng):
+        from wekws_tpu.frontend.features import frontend_from_dataset_conf
+
+        common = {"num_mel_bins": 40, "frame_shift": 10,
+                  "frame_length": 25, "dither": 0.0}
+        legacy = {"feature_extraction_conf":
+                  {"feature_type": "fbank", **common}}
+        new = {"feats_type": "fbank", "fbank_conf": dict(common)}
+        fe_l = frontend_from_dataset_conf(legacy)
+        fe_n = frontend_from_dataset_conf(new)
+        waves = jnp.asarray(make_wave(rng, 6400)[None, :])
+        lens = jnp.asarray([6400])
+        f_l, n_l = fe_l(waves, lens)
+        f_n, n_n = fe_n(waves, lens)
+        assert int(n_l[0]) == int(n_n[0])
+        np.testing.assert_array_equal(np.asarray(f_l), np.asarray(f_n))
+
+    def test_shipped_legacy_recipe_config_builds(self):
+        """The checked-in legacy-schema recipe config parses through
+        the same code path users hit (frontend + cv-conf scrub)."""
+        import pathlib
+
+        import yaml
+
+        from wekws_tpu.data.dataset import scrub_conf
+        from wekws_tpu.frontend.features import frontend_from_dataset_conf
+
+        path = (pathlib.Path(__file__).parent.parent / "examples" /
+                "hi_xiaowen" / "conf" / "ds_tcn_ctc_base.yaml")
+        cfg = yaml.safe_load(path.read_text())
+        fe = frontend_from_dataset_conf(cfg["dataset_conf"])
+        assert fe.feat_dim == 40
+        cv = scrub_conf(dict(cfg["dataset_conf"]))
+        assert cv["feature_extraction_conf"]["dither"] == 0.0
