@@ -13,6 +13,15 @@ match the reference decoder
   updates the node to its best-scoring frame;
 * second prune to ``path_beam_size`` by total probability.
 
+Node-list bookkeeping replicates the reference EXACTLY, including its
+aliasing semantics: node lists are copied shallowly (loss.py's
+``cur_nodes.copy()``), so the repeat-collapse branch's in-place
+``nodes[-1]['prob'] = ps`` update (loss.py:269-271) propagates into
+sibling hypotheses whose lists share that dict.  Verified
+hypothesis-for-hypothesis against the reference implementation in
+tests/test_reference_parity.py — deep-copying here looks cleaner but
+changes timestamps/score files relative to the reference.
+
 The incremental ``PrefixBeam`` class exposes the same recursion one
 frame at a time for the streaming engine
 (wekws_tpu.runtime.keyword_spotter), replacing the reference's inline
@@ -55,13 +64,18 @@ class PrefixBeam:
         t = self.abs_frame
         self.abs_frame += 1
 
-        order = np.argsort(probs)[::-1][: self.score_beam_size]
+        # stable descending sort: ties keep the lower token index, the
+        # order torch.topk produces in the reference
+        order = np.argsort(-probs, kind="stable")[: self.score_beam_size]
+        # note: blank is NOT special-cased — callers' token sets always
+        # include it (text.tokenizer.keyword_token_set seeds {0}, as the
+        # reference's set_keywords does), and the reference filter
+        # requires membership (loss.py:244-252)
         filtered = [
             int(i)
             for i in order
             if probs[i] > self.prob_threshold
-            and (self.tokenset is None or int(i) in self.tokenset
-                 or int(i) == self.blank_id)
+            and (self.tokenset is None or int(i) in self.tokenset)
         ]
         if not filtered:
             return
@@ -78,9 +92,12 @@ class PrefixBeam:
                     )
                 elif s == last:
                     if pnb > 1e-6:
-                        # repeat collapses: *ss -> *s
+                        # repeat collapses: *ss -> *s.  The shallow
+                        # list copy + in-place dict update reproduce
+                        # loss.py:264-271 (shared node dicts see the
+                        # best-frame update across sibling hypotheses).
                         n_pb, n_pnb, _ = next_hyps[prefix]
-                        new_nodes = [dict(n) for n in nodes]
+                        new_nodes = list(nodes)
                         if ps > new_nodes[-1]["prob"]:
                             new_nodes[-1]["prob"] = ps
                             new_nodes[-1]["frame"] = t
@@ -89,7 +106,7 @@ class PrefixBeam:
                         # blank separates: *s-s -> *ss
                         n_prefix = prefix + (s,)
                         n_pb, n_pnb, _ = next_hyps[n_prefix]
-                        new_nodes = [dict(n) for n in nodes]
+                        new_nodes = list(nodes)
                         new_nodes.append(dict(token=s, frame=t, prob=ps))
                         next_hyps[n_prefix] = (n_pb, n_pnb + pb * ps, new_nodes)
                 else:
@@ -97,12 +114,16 @@ class PrefixBeam:
                     n_pb, n_pnb, prev_nodes = next_hyps[n_prefix]
                     if prev_nodes:
                         if ps > prev_nodes[-1]["prob"]:
-                            new_nodes = [dict(n) for n in prev_nodes]
-                            new_nodes[-1] = dict(token=s, frame=t, prob=ps)
+                            # replace-last via pop/append on the entry's
+                            # own list (loss.py:294-300 — dict replaced,
+                            # not mutated, so other beams keep theirs)
+                            new_nodes = prev_nodes
+                            new_nodes.pop()
+                            new_nodes.append(dict(token=s, frame=t, prob=ps))
                         else:
                             new_nodes = prev_nodes
                     else:
-                        new_nodes = [dict(n) for n in nodes]
+                        new_nodes = list(nodes)
                         new_nodes.append(dict(token=s, frame=t, prob=ps))
                     next_hyps[n_prefix] = (
                         n_pb, n_pnb + (pb + pnb) * ps, new_nodes,
