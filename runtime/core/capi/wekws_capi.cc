@@ -1,7 +1,9 @@
 #include "capi/wekws_capi.h"
 
+#include <algorithm>
 #include <vector>
 
+#include "frontend/wav.h"
 #include "kws/keyword_spotting.h"
 
 extern "C" {
@@ -50,6 +52,19 @@ int wekws_decode(wekws_handle h, int max_frames, float* out,
 
 void wekws_reset(wekws_handle h) {
   static_cast<wekws::KeywordSpotting*>(h)->Reset();
+}
+
+int wekws_read_wav(const char* path, float* out, int max_n,
+                   int* sample_rate) {
+  wekws::WavReader reader(path, wekws::WavReader::NoAbort{});
+  if (!reader.ok()) return -1;
+  const auto& data = reader.data();
+  if (sample_rate != nullptr) *sample_rate = reader.sample_rate();
+  if (out != nullptr) {
+    const int n = std::min<int>(max_n, static_cast<int>(data.size()));
+    std::copy(data.begin(), data.begin() + n, out);
+  }
+  return static_cast<int>(data.size());
 }
 
 }  // extern "C"

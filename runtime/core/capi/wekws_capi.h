@@ -31,6 +31,15 @@ int wekws_decode(wekws_handle h, int max_frames, float* out,
 
 void wekws_reset(wekws_handle h);
 
+// Decode a PCM wav file (8/16/24/32-bit; channel 0 of multi-channel)
+// into int16-scale float samples.  Pass out=NULL to query the sample
+// count; otherwise writes min(count, max_n) samples.  Returns the
+// total sample count, or -1 when the file is missing/unsupported
+// (unsupported layouts abort in the engine binaries; the C API
+// reports them as errors instead).
+int wekws_read_wav(const char* path, float* out, int max_n,
+                   int* sample_rate);
+
 #ifdef __cplusplus
 }
 #endif

@@ -17,7 +17,11 @@ namespace wekws {
 class WavReader {
  public:
   explicit WavReader(const std::string& path) { WEKWS_CHECK(Load(path)); }
+  // Non-aborting construction for FFI callers (capi): check ok().
+  struct NoAbort {};
+  WavReader(const std::string& path, NoAbort) { ok_ = Load(path); }
 
+  bool ok() const { return ok_; }
   int sample_rate() const { return sample_rate_; }
   int num_channels() const { return num_channels_; }
   // Mono samples in int16 scale (channel 0 when multi-channel).
@@ -63,6 +67,27 @@ class WavReader {
         got_fmt = true;
       } else if (std::memcmp(id, "data", 4) == 0) {
         WEKWS_CHECK(got_fmt) << "data chunk before fmt";
+        // Fail loudly on layouts we cannot decode instead of silently
+        // producing zeros (an unsupported bit depth used to fall
+        // through every branch and push 0.0f — e.g. a 24-bit wav
+        // decoded as silence).  The plain constructor aborts via its
+        // WEKWS_CHECK; the NoAbort form reports ok()=false.
+        if (!(format == 1 || format == 0xFFFE)) {
+          LOG_ERROR << path << ": unsupported wav format tag " << format
+                    << " (PCM only)";
+          std::fclose(fp);
+          return false;
+        }
+        if (!(bits == 8 || bits == 16 || bits == 24 || bits == 32)) {
+          LOG_ERROR << path << ": unsupported wav bit depth " << bits;
+          std::fclose(fp);
+          return false;
+        }
+        if (channels == 0) {
+          LOG_ERROR << path << ": wav has zero channels";
+          std::fclose(fp);
+          return false;
+        }
         const int bytes_per_sample = bits / 8;
         const size_t n = size / bytes_per_sample;
         std::vector<char> raw(size);
@@ -79,6 +104,14 @@ class WavReader {
             int32_t s;
             std::memcpy(&s, raw.data() + i * 4, 4);
             v = static_cast<float>(s) / 65536.0f;
+          } else if (bits == 24) {
+            // 3-byte little-endian signed -> int16 scale
+            const unsigned char* p =
+                reinterpret_cast<unsigned char*>(raw.data()) + i * 3;
+            int32_t s = (static_cast<int32_t>(p[2]) << 24 |
+                         static_cast<int32_t>(p[1]) << 16 |
+                         static_cast<int32_t>(p[0]) << 8) >> 8;
+            v = static_cast<float>(s) / 256.0f;
           } else if (bits == 8) {
             v = (static_cast<float>(
                      static_cast<unsigned char>(raw[i])) - 128.0f) * 256.0f;
@@ -97,6 +130,7 @@ class WavReader {
     return got_fmt && !data_.empty();
   }
 
+  bool ok_ = false;
   int sample_rate_ = 0;
   int num_channels_ = 0;
   std::vector<float> data_;

@@ -300,3 +300,95 @@ def test_cpp_static_quantized_fsmn_matches_np_spec(capi, tmp_path, rng):
     # end-to-end in PERF.md / test_export.py)
     spread = float(f32[:n].max() - f32[:n].min())
     assert np.abs(f32[:n] - got[:n]).max() < 0.05 * max(spread, 1.0)
+
+
+def write_wav_raw(path, pcm_bytes, bits, channels=1, rate=16000,
+                  fmt=1):
+    """Hand-rolled RIFF writer for arbitrary bit depths/format tags."""
+    import struct
+
+    block_align = channels * bits // 8
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm_bytes)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, fmt, channels, rate, rate * block_align,
+        block_align, bits,
+    )
+    hdr += b"data" + struct.pack("<I", len(pcm_bytes))
+    with open(path, "wb") as f:
+        f.write(hdr + pcm_bytes)
+
+
+def read_wav_capi(capi, path):
+    capi.wekws_read_wav.restype = ctypes.c_int
+    capi.wekws_read_wav.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    rate = ctypes.c_int(0)
+    n = capi.wekws_read_wav(path.encode(), None, 0, ctypes.byref(rate))
+    if n < 0:
+        return None, None
+    buf = (ctypes.c_float * n)()
+    got = capi.wekws_read_wav(path.encode(), buf, n, ctypes.byref(rate))
+    assert got == n
+    return np.asarray(buf, np.float32), rate.value
+
+
+def test_wav_reader_bit_depths(capi, tmp_path):
+    """8/16/24/32-bit PCM all decode to int16 scale; 24-bit in
+    particular must NOT decode as silence (r2 verdict: it fell through
+    every branch and produced zeros)."""
+    import struct
+
+    samples16 = np.asarray([0, 1000, -1000, 32767, -32768], np.int64)
+
+    p16 = str(tmp_path / "a16.wav")
+    write_wav_raw(p16, struct.pack("<5h", *samples16), 16)
+    got, rate = read_wav_capi(capi, p16)
+    assert rate == 16000
+    np.testing.assert_array_equal(got, samples16.astype(np.float32))
+
+    p24 = str(tmp_path / "a24.wav")
+    s24 = samples16 * 256  # int24 scale
+    raw24 = b"".join(
+        struct.pack("<i", int(v))[:3] for v in s24
+    )
+    write_wav_raw(p24, raw24, 24)
+    got, _ = read_wav_capi(capi, p24)
+    np.testing.assert_allclose(got, samples16.astype(np.float32))
+
+    p32 = str(tmp_path / "a32.wav")
+    s32 = samples16 * 65536
+    write_wav_raw(p32, struct.pack("<5i", *(int(v) for v in s32)), 32)
+    got, _ = read_wav_capi(capi, p32)
+    np.testing.assert_allclose(got, samples16.astype(np.float32))
+
+    p8 = str(tmp_path / "a8.wav")
+    write_wav_raw(p8, bytes([0, 128, 255]), 8)
+    got, _ = read_wav_capi(capi, p8)
+    np.testing.assert_allclose(got, [-32768.0, 0.0, 32512.0])
+
+    # stereo: channel 0 only
+    pst = str(tmp_path / "st.wav")
+    inter = struct.pack("<6h", 10, -99, 20, -99, 30, -99)
+    write_wav_raw(pst, inter, 16, channels=2)
+    got, _ = read_wav_capi(capi, pst)
+    np.testing.assert_array_equal(got, [10.0, 20.0, 30.0])
+
+
+def test_wav_reader_rejects_unsupported(capi, tmp_path):
+    """Unsupported layouts are an explicit error (-1 via the C API;
+    the binaries' plain constructor aborts), never silent zeros."""
+    bad_bits = str(tmp_path / "b20.wav")
+    write_wav_raw(bad_bits, b"\x00" * 40, 20)
+    n, _ = read_wav_capi(capi, bad_bits)
+    assert n is None
+
+    bad_fmt = str(tmp_path / "alaw.wav")
+    write_wav_raw(bad_fmt, b"\x00" * 40, 16, fmt=6)  # A-law
+    n, _ = read_wav_capi(capi, bad_fmt)
+    assert n is None
+
+    missing = str(tmp_path / "nope.wav")
+    n, _ = read_wav_capi(capi, missing)
+    assert n is None

@@ -250,3 +250,52 @@ def test_fixed_samples_batching(corpus):
     ds = init_dataset(corpus, conf, split="cv", rank=0, world_size=1)
     shapes = {b["waves"].shape[1] for b in ds}
     assert shapes == {16000}
+
+
+def test_emit_batch_asserts_on_overlong_labels():
+    """fixed_label_len must never silently truncate CTC targets."""
+    from wekws_tpu.data.processor import _emit_batch
+
+    samples = [
+        {"key": "ok", "wav": np.zeros(100, np.float32), "label": [1, 2]},
+        {"key": "toolong", "wav": np.zeros(100, np.float32),
+         "label": [1, 2, 3, 4]},
+    ]
+    with pytest.raises(AssertionError, match="toolong"):
+        _emit_batch(samples, smax=100, wave_scale=1.0, fixed_label_len=3)
+    # at the cap is fine
+    out = _emit_batch(samples, smax=100, wave_scale=1.0, fixed_label_len=4)
+    assert out["target"].shape == (2, 4)
+
+
+def test_make_blob_cli(tmp_path, rng):
+    """tools.make_blob packs a wav.scp into a BlobData-readable store
+    (reference tools/make_lmdb.py equivalent)."""
+    import subprocess
+    import sys
+
+    wavs = {}
+    scp_lines = []
+    for i in range(3):
+        wave = (rng.standard_normal(800) * 1000).astype(np.float32)
+        p = tmp_path / f"n{i}.wav"
+        write_wav(str(p), wave, 16000)
+        wavs[f"n{i}"] = p.read_bytes()
+        scp_lines.append(f"n{i} {p}")
+    scp = tmp_path / "wav.scp"
+    scp.write_text("\n".join(scp_lines) + "\n")
+
+    out = tmp_path / "noise_store"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    subprocess.run(
+        [sys.executable, "-m", "wekws_tpu.tools.make_blob",
+         str(scp), str(out)],
+        check=True, capture_output=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    store = BlobData(str(out), seed=0)
+    assert sorted(k for k, _, _ in store.entries) == ["n0", "n1", "n2"]
+    key, data = store.random_one()
+    assert data == wavs[key]

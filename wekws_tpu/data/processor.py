@@ -179,8 +179,8 @@ def _emit_batch(
     """Assemble fixed-shape arrays from ``samples`` (+ ``n_fill``
     zero rows marked invalid).  ``fixed_label_len`` forces the
     label-pad width exactly (bucketed lockstep batches must agree on
-    it globally; longer label lists are truncated — upstream
-    filter_length already enforces the cap)."""
+    it globally; a label list longer than the cap is an assertion
+    error — upstream filter_length keeps that unreachable)."""
     b = len(samples) + n_fill
     waves = np.zeros((b, smax), np.float32)
     lengths = np.ones((b,), np.int32)  # fill rows: 1 sample, no NaNs
@@ -201,7 +201,14 @@ def _emit_batch(
         target = np.full((b, umax), -1, np.int32)
         target_lengths = np.ones((b,), np.int32)
         for i, l in enumerate(labels):
-            l = l[:umax]
+            # self-enforce the invariant instead of silently truncating
+            # (upstream filter_length caps token counts; a config that
+            # breaks that must fail loudly, not corrupt CTC targets)
+            assert len(l) <= umax, (
+                f"label of {samples[i]['key']} has {len(l)} tokens > "
+                f"fixed_label_len {umax}; raise dataset_conf."
+                f"batch_conf.fixed_label_len or tighten filter_conf"
+            )
             target[i, : len(l)] = l
             target_lengths[i] = max(len(l), 1)
     else:
