@@ -326,3 +326,115 @@ def test_two_process_bucketed_ctc_lockstep(tmp_path):
         assert line, out[-2000:]
         shape_lines.append(line[0])
     assert shape_lines[0] == shape_lines[1]
+
+
+FAST_WORKER = r'''
+import os, sys
+pid = int(sys.argv[1])
+port = sys.argv[2]
+data_list = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, %(repo)r)
+import numpy as np
+from wekws_tpu.data.dataset import init_dataset
+from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+from wekws_tpu.models import init_model
+from wekws_tpu.parallel import make_mesh
+from wekws_tpu.parallel.mesh import make_global_batch
+from wekws_tpu.train import Trainer
+
+mesh = make_mesh()
+model_conf = {
+    "input_dim": 23, "output_dim": 1, "hidden_dim": 8,
+    "preprocessing": {"type": "linear"},
+    "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
+                 "kernel_size": 4, "dropout": 0.0},
+}
+conf = {
+    "filter_conf": {"max_length": 20480, "min_length": 0},
+    "resample_conf": {"resample_rate": 16000},
+    "feats_type": "fbank",
+    "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                   "frame_length": 25, "dither": 0.0},
+    "shuffle": True,
+    "batch_conf": {"batch_size": 2,
+                   "bucket_boundaries": [16000, 32000]},
+}
+model = init_model(model_conf)
+pipe = DeviceFeaturePipeline.from_conf(conf, True)
+cvp = DeviceFeaturePipeline.from_conf(conf, False)
+tr = Trainer(model, pipe, cvp, "max_pooling", learning_rate=1e-3,
+             min_duration=5)
+ds = init_dataset(data_list, conf, split="train", rank=pid, world_size=2)
+ds.set_epoch(0)
+state = None
+shapes = []
+for b in ds:
+    arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+    gb = make_global_batch(arrays, mesh)
+    if state is None:
+        state = tr.init_state(jax.random.PRNGKey(0), b, mesh)
+    state, m = tr.train_step(state, gb, jax.random.PRNGKey(1), 1e-3)
+    loss = float(jax.device_get(m["loss"]))
+    assert np.isfinite(loss), loss
+    shapes.append(tuple(b["waves"].shape))
+assert len(set(shapes)) >= 2, shapes
+print(f"MH_FAST_SHAPES={shapes}", flush=True)
+''' % {"repo": REPO}
+
+
+def test_two_process_lockstep_fast(tmp_path):
+    """UNGATED scaled-down variant of the 2-process lockstep test
+    (2 virtual devices/process, tiny DS-TCN, 12 short wavs): real
+    jax.distributed processes must see identical bucket-shape
+    sequences and finite losses.  The full-size variants above remain
+    RUN_MULTIHOST-gated."""
+    import json
+
+    import numpy as np
+
+    from wekws_tpu.data.audio import write_wav
+
+    lines = []
+    rng = np.random.default_rng(3)
+    for i in range(12):
+        n = 12000 + 400 * (i % 3) if i < 6 else 25000 + 400 * (i % 3)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), (0.2 * rng.standard_normal(n)).astype(np.float32),
+                  16000)
+        lines.append(json.dumps({
+            "key": f"u{i}", "txt": str(i % 2 - 1), "wav": str(p),
+            "duration": n / 16000.0,
+        }))
+    lst = tmp_path / "data.list"
+    lst.write_text("\n".join(lines))
+
+    worker = tmp_path / "fast_worker.py"
+    worker.write_text(FAST_WORKER)
+    port = "12403"
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker), str(i), port, str(lst)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out)
+    shape_lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if "MH_FAST_SHAPES" in l]
+        assert line, out[-2000:]
+        shape_lines.append(line[0])
+    assert shape_lines[0] == shape_lines[1]
