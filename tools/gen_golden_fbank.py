@@ -85,7 +85,8 @@ def make_waves():
         return (np.asarray(x) * 32767.0).astype(np.float32)
 
     return {
-        "chirp": scale(0.5 * np.sin(2 * np.pi * np.cumsum(np.linspace(100, 7000, 16000)) / sr)),
+        "chirp": scale(0.5 * np.sin(
+            2 * np.pi * np.cumsum(np.linspace(100, 7000, 16000)) / sr)),
         "tones": scale(0.3 * np.sin(2 * np.pi * 440 * np.arange(8000) / sr)
                        + 0.2 * np.sin(2 * np.pi * 1333 * np.arange(8000) / sr + 0.7)),
         "noise": scale(0.1 * rng.standard_normal(12000).astype(np.float32)),
@@ -103,7 +104,8 @@ def make_waves():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", default="/root/reference")
-    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", "tests", "golden"))
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "tests", "golden"))
     args = ap.parse_args()
 
     src = os.path.join(args.ref, "runtime", "core", "frontend")

@@ -34,7 +34,8 @@ def mel_scale(freq):
 
 
 def inverse_mel_scale(mel):
-    return MEL_BREAK_FREQ * (np.exp(np.asarray(mel, np.float64) / MEL_HIGH_FREQ_Q) - 1.0)
+    m = np.asarray(mel, np.float64)
+    return MEL_BREAK_FREQ * (np.exp(m / MEL_HIGH_FREQ_Q) - 1.0)
 
 
 def next_power_of_two(n: int) -> int:
