@@ -339,3 +339,52 @@ def test_fused_frontend_fallbacks():
     )
     feats, _ = fe(jnp.zeros((2, 32000), jnp.float32))
     assert feats.shape == (2, 198, 40)  # XLA path ran
+
+
+class TestDepthwiseBackward:
+    """The selected depthwise conv (custom VJP: flipped-conv dx +
+    kernel-only sub-vjp dw) must match grouped-conv autodiff gradients
+    for every (dilation, left_pad, dtype) the models use."""
+
+    @pytest.mark.parametrize("d,lp", [(1, 0), (2, 7), (4, 28), (8, 56)])
+    def test_grad_matches_autodiff(self, d, lp):
+        import jax.numpy as jnp
+
+        from wekws_tpu.models import layers
+
+        rng = np.random.default_rng(d * 100 + lp)
+        k, c, b = 8, 16, 4
+        t = 40
+        x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, 1, c)), jnp.float32)
+        t_out = t + lp - (k - 1) * d
+        assert t_out > 0
+        co = jnp.asarray(rng.standard_normal((b, t_out, c)), jnp.float32)
+
+        def loss(f):
+            return lambda x, w: jnp.sum(f(x, w, d, lp) * co)
+
+        ga = jax.grad(loss(layers.depthwise_conv1d), argnums=(0, 1))(x, w)
+        gb = jax.grad(
+            loss(layers.depthwise_conv1d_grouped), argnums=(0, 1)
+        )(x, w)
+        np.testing.assert_allclose(ga[0], gb[0], atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(ga[1], gb[1], atol=1e-4, rtol=1e-5)
+
+    def test_bf16_grad_dtypes(self):
+        import jax.numpy as jnp
+
+        from wekws_tpu.models import layers
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 24, 8)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((5, 1, 8)), jnp.bfloat16)
+        g = jax.grad(
+            lambda x, w: jnp.sum(
+                layers.depthwise_conv1d(x, w, 2, 8).astype(jnp.float32)
+            ),
+            argnums=(0, 1),
+        )(x, w)
+        assert g[0].dtype == jnp.bfloat16
+        assert g[1].dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(g[0].astype(jnp.float32)).all())

@@ -22,6 +22,7 @@ Reference semantics being matched (studied, not copied):
 ``t + j*dilation``, exactly the formula below.
 """
 
+import functools
 from typing import Optional
 
 import flax.linen as nn
@@ -100,16 +101,169 @@ class DepthwiseConv1d(nn.Module):
         return y
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def depthwise_conv1d_cvjp(
+    x: jnp.ndarray, kernel: jnp.ndarray, dilation: int, left_pad: int = 0
+) -> jnp.ndarray:
+    """Grouped-conv forward with a hand-written dense backward.
+
+    XLA's autodiff backward for a feature_group_count=C convolution is
+    a grouped conv-transpose whose TPU tiling collapses above B~768
+    (PERF.md 'B=1024 regression root cause': grad 10.6 ms @ B=512 ->
+    32.3 ms @ B=1024, 1.52x over linear).  Both gradients are dense
+    shifted reductions, so we write them as such:
+
+      dx[s]   = sum_j w[j] * g[s - j*d]   (shifted-FMA over padded g —
+                pure VPU work, fuses with the surrounding BN backward)
+      dw[j,c] = sum_{b,t} g[b,t,c] * xp[b, t + j*d, c]   (k slice-mul
+                reductions over the SAME two buffers — one fused pass)
+
+    No conv-transpose, no scatter; cost scales linearly in B.
+    """
+    return depthwise_conv1d_grouped(x, kernel, dilation, left_pad)
+
+
+def _dw_cvjp_fwd(x, kernel, dilation, left_pad):
+    return depthwise_conv1d_grouped(x, kernel, dilation, left_pad), (x, kernel)
+
+
+def _dw_cvjp_bwd(dilation, left_pad, res, g):
+    x, kernel = res
+    k = kernel.shape[0]
+    w = kernel[:, 0, :]  # (k, C)
+    span = (k - 1) * dilation
+    t_inp = x.shape[1] + left_pad  # padded input length
+
+    # dx: full correlation of g with the flipped kernel.
+    gp = jnp.pad(g, ((0, 0), (span, span), (0, 0)))
+    dxp = None
+    for j in range(k):
+        tap = (
+            jax.lax.dynamic_slice_in_dim(
+                gp, span - j * dilation, t_inp, axis=1
+            )
+            * w[j]
+        )
+        dxp = tap if dxp is None else dxp + tap
+    dx = dxp[:, left_pad:, :] if left_pad else dxp
+
+    # dw: k shifted reductions over (B, T_out) in f32 (bf16 g/x would
+    # lose mantissa over ~1e5-element sums).
+    xp = jnp.pad(x, ((0, 0), (left_pad, 0), (0, 0))) if left_pad else x
+    t_out = g.shape[1]
+    g32 = g.astype(jnp.float32)
+    taps = []
+    for j in range(k):
+        xj = jax.lax.dynamic_slice_in_dim(xp, j * dilation, t_out, axis=1)
+        taps.append(jnp.sum(g32 * xj.astype(jnp.float32), axis=(0, 1)))
+    dw = jnp.stack(taps)[:, None, :].astype(kernel.dtype)  # (k, 1, C)
+    return dx.astype(x.dtype), dw
+
+
+depthwise_conv1d_cvjp.defvjp(_dw_cvjp_fwd, _dw_cvjp_bwd)
+
+
+def _dx_flipped_conv(g, kernel, dilation, left_pad, t_in):
+    """dx as a REGULAR grouped conv of g with the flipped kernel (full
+    correlation) — same op class as the forward, instead of the
+    conv-transpose XLA autodiff emits."""
+    span = (kernel.shape[0] - 1) * dilation
+    dxp = jax.lax.conv_general_dilated(
+        g,
+        jnp.flip(kernel, axis=0),
+        (1,),
+        [(span, span)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        feature_group_count=kernel.shape[-1],
+    )
+    return dxp[:, left_pad:, :] if left_pad else dxp
+
+
+def _dw_sub_vjp(x, kernel, dilation, left_pad, g):
+    """dw via XLA's own weight-grad conv (vjp wrt kernel only — the dx
+    conv-transpose is never built)."""
+    _, vjp = jax.vjp(
+        lambda kk: depthwise_conv1d_grouped(x, kk, dilation, left_pad),
+        kernel,
+    )
+    (dw,) = vjp(g)
+    return dw
+
+
+def _make_variant(name, dx_mode, dw_mode):
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+    def conv(x, kernel, dilation, left_pad=0):
+        return depthwise_conv1d_grouped(x, kernel, dilation, left_pad)
+
+    def fwd(x, kernel, dilation, left_pad):
+        return conv(x, kernel, dilation, left_pad), (x, kernel)
+
+    def bwd(dilation, left_pad, res, g):
+        x, kernel = res
+        if dx_mode == "flip_conv":
+            dx = _dx_flipped_conv(g, kernel, dilation, left_pad, x.shape[1])
+        else:  # shifted
+            k = kernel.shape[0]
+            w = kernel[:, 0, :]
+            span = (k - 1) * dilation
+            t_inp = x.shape[1] + left_pad
+            gp = jnp.pad(g, ((0, 0), (span, span), (0, 0)))
+            dxp = None
+            for j in range(k):
+                tap = (
+                    jax.lax.dynamic_slice_in_dim(
+                        gp, span - j * dilation, t_inp, axis=1
+                    )
+                    * w[j]
+                )
+                dxp = tap if dxp is None else dxp + tap
+            dx = dxp[:, left_pad:, :] if left_pad else dxp
+        if dw_mode == "sub_vjp":
+            dw = _dw_sub_vjp(x, kernel, dilation, left_pad, g)
+        else:  # slice reductions
+            k = kernel.shape[0]
+            xp = (
+                jnp.pad(x, ((0, 0), (left_pad, 0), (0, 0)))
+                if left_pad else x
+            )
+            t_out = g.shape[1]
+            g32 = g.astype(jnp.float32)
+            taps = []
+            for j in range(k):
+                xj = jax.lax.dynamic_slice_in_dim(
+                    xp, j * dilation, t_out, axis=1
+                )
+                taps.append(
+                    jnp.sum(g32 * xj.astype(jnp.float32), axis=(0, 1))
+                )
+            dw = jnp.stack(taps)[:, None, :].astype(kernel.dtype)
+        return dx.astype(x.dtype), dw
+
+    conv.defvjp(fwd, bwd)
+    conv.__name__ = name
+    return conv
+
+
+# experiment variants (tools/bench_dw_backward.py)
+depthwise_conv1d_v_flip_subvjp = _make_variant(
+    "v_flip_subvjp", "flip_conv", "sub_vjp")
+depthwise_conv1d_v_flip_slices = _make_variant(
+    "v_flip_slices", "flip_conv", "slices")
+depthwise_conv1d_v_shift_subvjp = _make_variant(
+    "v_shift_subvjp", "shifted", "sub_vjp")
+
+
 # Selected implementation (module-level so experiments can swap it).
 #
-# Measured on 1x TPU v5e, full MDTC train step at B=512 (PERF.md round 2):
-# grouped 14.4 ms vs shifted 22.7 ms.  In isolation the shifted form is
-# marginally faster (0.024 vs 0.026 ms fwd), but its backward lowers to
-# per-tap scatter-adds into the padded input buffer, which block XLA's
-# fusion of the surrounding BN/ReLU backward ops; the grouped form's
-# conv-transpose backward fuses cleanly.  ``depthwise_conv1d_shifted``
-# is retained (unused in the model path) as the documented measured
-# alternative for future lowering experiments; the Pallas serving
-# kernels (ops/fused_mdtc.py) implement the same shifted-FMA form
-# independently inside the kernel body.
-depthwise_conv1d = depthwise_conv1d_grouped
+# History (1x TPU v5e, full MDTC train step, bf16):
+# * round 2: grouped-conv autodiff 14.4 ms vs shifted-FMA autodiff
+#   22.7 ms @ B=512 (the shifted form's backward lowers to per-tap
+#   scatter-adds that block fusion) -> grouped was selected.
+# * round 3 (PERF.md 'Depthwise backward' table): custom-VJP variants
+#   measured against grouped autodiff at B=512/1024.  dx as a REGULAR
+#   flipped grouped conv + dw via a kernel-only sub-vjp wins at both
+#   sizes (9.13 vs 9.38 ms @ 512, 25.64 vs 25.41 @ 1024 — tie there);
+#   fully dense slice/reduction backwards are SLOWER (12.35/33.85 ms),
+#   so the conv-transpose was never the B>=768 cliff.
+depthwise_conv1d = depthwise_conv1d_v_flip_subvjp
