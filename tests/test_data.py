@@ -299,3 +299,44 @@ def test_make_blob_cli(tmp_path, rng):
     assert sorted(k for k, _, _ in store.entries) == ["n0", "n1", "n2"]
     key, data = store.random_one()
     assert data == wavs[key]
+
+
+def test_int16_wire_roundtrip_exact(tmp_path, rng):
+    """Default int16 wire format: for unaugmented int16-on-disk wavs
+    the batch carries exactly the stored integer samples (and the f32
+    cast downstream reproduces the float32 path bit-for-bit)."""
+    from wekws_tpu.data.processor import _emit_batch
+
+    from scipy.io import wavfile
+
+    wave_int = rng.integers(-32768, 32767, 1600).astype(np.int16)
+    p = tmp_path / "w.wav"
+    wavfile.write(str(p), 16000, wave_int)  # exact stored integers
+    loaded, _ = read_wav(str(p))
+    sample = {"key": "w", "wav": loaded, "label": 0}
+    b16 = _emit_batch([sample], smax=1600, wave_scale=32768.0,
+                      wire_dtype="int16")
+    assert b16["waves"].dtype == np.int16
+    np.testing.assert_array_equal(b16["waves"][0], wave_int)
+    b32 = _emit_batch([sample], smax=1600, wave_scale=32768.0)
+    assert b32["waves"].dtype == np.float32
+    np.testing.assert_array_equal(
+        b16["waves"][0].astype(np.float32), b32["waves"][0]
+    )
+
+
+def test_blobstore_pickles_into_workers(tmp_path, rng):
+    """BlobData must survive spawn-pickling (DataLoader workers open
+    their own mmap) — regression for the aug-with-workers crash."""
+    import pickle
+
+    wave = (rng.standard_normal(800) * 1000).astype(np.float32)
+    p = tmp_path / "noise_0.wav"
+    write_wav(str(p), wave / 32768.0, 16000)
+    with BlobWriter(str(tmp_path / "store")) as w:
+        w.put("noise_0", p.read_bytes())
+    store = BlobData(str(tmp_path / "store"), seed=0)
+    key, data = store.random_one()  # open the mmap
+    clone = pickle.loads(pickle.dumps(store))
+    key2, data2 = clone.random_one()
+    assert (key, data) == (key2, data2)

@@ -434,3 +434,110 @@ class TestMixedPrecision:
             np.asarray(jnp.concatenate(outs, axis=1)),
             np.asarray(out), atol=5e-2,
         )
+
+
+class TestGhostBatchNorm:
+    def test_matches_bn_with_one_group(self):
+        import jax
+        import jax.numpy as jnp
+        import flax.linen as nn
+
+        from wekws_tpu.models.layers import GhostBatchNorm
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((8, 12, 6)), jnp.float32)
+        gbn = GhostBatchNorm(num_groups=1)
+        bn = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                          epsilon=1e-5)
+        vg = gbn.init(jax.random.PRNGKey(0), x, use_running_average=False)
+        vb = bn.init(jax.random.PRNGKey(0), x)
+        yg, sg = gbn.apply(vg, x, use_running_average=False,
+                           mutable=["batch_stats"])
+        yb, sb = bn.apply(vb, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(yg), np.asarray(yb), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(sg["batch_stats"]["mean"]),
+            np.asarray(sb["batch_stats"]["mean"]), atol=1e-6,
+        )
+
+    def test_groups_normalize_independently(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wekws_tpu.models.layers import GhostBatchNorm
+
+        rng = np.random.default_rng(1)
+        # two groups with wildly different scales: ghost BN normalizes
+        # each to ~unit variance, global BN would not
+        a = rng.standard_normal((4, 10, 3)) * 0.1
+        b = rng.standard_normal((4, 10, 3)) * 10.0
+        x = jnp.asarray(np.concatenate([a, b]), jnp.float32)
+        gbn = GhostBatchNorm(num_groups=2)
+        v = gbn.init(jax.random.PRNGKey(0), x, use_running_average=False)
+        y, _ = gbn.apply(v, x, use_running_average=False,
+                         mutable=["batch_stats"])
+        y = np.asarray(y)
+        assert abs(y[:4].std() - 1.0) < 0.05
+        assert abs(y[4:].std() - 1.0) < 0.05
+
+    def test_eval_uses_running_stats_and_indivisible_fallback(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wekws_tpu.models.layers import GhostBatchNorm
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((6, 5, 4)), jnp.float32)
+        gbn = GhostBatchNorm(num_groups=4)  # 6 % 4 != 0 -> global stats
+        v = gbn.init(jax.random.PRNGKey(0), x, use_running_average=False)
+        y, s = gbn.apply(v, x, use_running_average=False,
+                         mutable=["batch_stats"])
+        assert bool(jnp.isfinite(y).all())
+        ye = gbn.apply(
+            {"params": v["params"],
+             "batch_stats": s["batch_stats"]},
+            x, use_running_average=True,
+        )
+        assert bool(jnp.isfinite(ye).all())
+
+    def test_mdtc_with_ghost_bn_trains_and_streams(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wekws_tpu.models import init_model
+
+        conf = {
+            "input_dim": 10, "output_dim": 1, "hidden_dim": 8,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "mdtc", "num_stack": 1, "stack_size": 2,
+                         "kernel_size": 3, "hidden_dim": 8,
+                         "causal": True, "ghost_bn": 2},
+        }
+        model = init_model(conf)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 20, 10)),
+            jnp.float32,
+        )
+        v = model.init(jax.random.PRNGKey(0), x)
+        # train step updates ghost batch_stats
+        (y, _), updates = model.apply(
+            v, x, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(1)},
+        )
+        assert bool(jnp.isfinite(y).all())
+        # eval: chunked-with-cache == full (running stats, cache API
+        # unchanged by the knob)
+        v2 = {"params": v["params"],
+              "batch_stats": updates["batch_stats"]}
+        full, _ = model.apply(v2, x)
+        cache = model.init_cache(4)
+        outs = []
+        for s in range(0, 20, 5):
+            yc, cache = model.apply(v2, x[:, s:s + 5], cache)
+            outs.append(yc)
+        np.testing.assert_allclose(
+            np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full),
+            atol=1e-5,
+        )

@@ -84,16 +84,65 @@ def ensure_corpus(corpus_dir: str, utts: int) -> str:
     return list_path
 
 
-def run_epoch(list_path, corpus_dir, num_workers, aug, batch_size):
+def run_host_only(list_path, corpus_dir, num_workers, aug, batch_size):
+    """Host pipeline production rate alone (no device, no transfers)."""
+    from wekws_tpu.data.dataset import init_dataset
+    from wekws_tpu.data.loader import DataLoader
+
+    conf = make_conf(corpus_dir, aug, batch_size)
+    dataset = init_dataset(list_path, conf, split="train")
+    loader = DataLoader(dataset, num_workers=num_workers, prefetch=8)
+    loader.set_epoch(0)
+    next(iter(loader))  # warm caches / spawn workers
+    loader.set_epoch(1)
+    audio_seconds, n = 0.0, 0
+    start = time.perf_counter()
+    for batch in loader:
+        audio_seconds += float(batch["wave_lengths"].sum()) / SR
+        n += 1
+    elapsed = time.perf_counter() - start
+    loader.close()
+    rate = audio_seconds / elapsed
+    print(f"HOST-ONLY workers={num_workers:3d} aug={aug:4s}: {n} batches "
+          f"-> {rate:8.0f} audio-s/s", flush=True)
+    return rate
+
+
+def run_h2d_only(list_path, corpus_dir, aug, batch_size):
+    """Transfer rate: device_put pre-built batches (tunnel/PCIe bound)."""
     import jax
 
-    from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
-    from wekws_tpu.data.dataset import init_dataset
-    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
-    from wekws_tpu.data.loader import DataLoader
-    from wekws_tpu.models import init_model
-    from wekws_tpu.parallel import make_mesh
-    from wekws_tpu.train import Executor, Trainer
+    from wekws_tpu.parallel import make_mesh, shard_batch
+
+    conf = make_conf(corpus_dir, aug, batch_size)
+    mesh = make_mesh()
+    smax = conf["batch_conf"]["fixed_samples"]
+    rng = np.random.default_rng(0)
+    batch = {
+        "waves": rng.standard_normal((batch_size, smax)).astype(np.float32),
+        "wave_lengths": np.full((batch_size,), smax, np.int32),
+        "target": np.zeros((batch_size,), np.int32),
+        "target_lengths": np.ones((batch_size,), np.int32),
+    }
+    for _ in range(2):
+        out = shard_batch(batch, mesh)
+    jax.block_until_ready(out)
+    n = 10
+    start = time.perf_counter()
+    for _ in range(n):
+        out = shard_batch(batch, mesh)
+        jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+    mb = batch["waves"].nbytes / 1e6
+    rate = batch_size * (smax / SR) * n / elapsed
+    print(f"H2D-ONLY aug={aug:4s}: {mb:.0f} MB/batch, "
+          f"{mb * n / elapsed:.0f} MB/s -> {rate:8.0f} audio-s/s",
+          flush=True)
+    return rate
+
+
+def make_conf(corpus_dir, aug, batch_size):
+    from __graft_entry__ import DATASET_CONF
 
     conf = {
         "filter_conf": {"max_length": 2048, "min_length": 0},
@@ -114,7 +163,21 @@ def run_epoch(list_path, corpus_dir, num_workers, aug, batch_size):
         conf["noise_prob"] = 0.6
         conf["reverb_source"] = os.path.join(corpus_dir, "rir_store")
         conf["reverb_prob"] = 0.4
+    return conf
 
+
+def run_epoch(list_path, corpus_dir, num_workers, aug, batch_size):
+    import jax
+
+    from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
+    from wekws_tpu.data.dataset import init_dataset
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+    from wekws_tpu.data.loader import DataLoader
+    from wekws_tpu.models import init_model
+    from wekws_tpu.parallel import make_mesh
+    from wekws_tpu.train import Executor, Trainer
+
+    conf = make_conf(corpus_dir, aug, batch_size)
     mesh = make_mesh()
     model = init_model(dict(FLAGSHIP_MODEL_CONF, dtype="bfloat16"))
     pipeline = DeviceFeaturePipeline.from_conf(conf, training=True)
@@ -162,12 +225,22 @@ def main():
     ap.add_argument("--workers", type=int, nargs="+", default=[0, 4, 8, 16])
     ap.add_argument("--aug", nargs="+", default=["none", "full"])
     ap.add_argument("--batch_size", type=int, default=512)
+    ap.add_argument("--mode", choices=["train", "host", "h2d"],
+                    default="train")
     args = ap.parse_args()
 
     list_path = ensure_corpus(args.corpus_dir, args.utts)
     for aug in args.aug:
+        if args.mode == "h2d":
+            run_h2d_only(list_path, args.corpus_dir, aug, args.batch_size)
+            continue
         for w in args.workers:
-            run_epoch(list_path, args.corpus_dir, w, aug, args.batch_size)
+            if args.mode == "host":
+                run_host_only(list_path, args.corpus_dir, w, aug,
+                              args.batch_size)
+            else:
+                run_epoch(list_path, args.corpus_dir, w, aug,
+                          args.batch_size)
 
 
 if __name__ == "__main__":

@@ -48,14 +48,30 @@ class BlobData:
             for line in f:
                 key, offset, size = line.rsplit(" ", 2)
                 self.entries.append((key, int(offset), int(size)))
-        self._file = open(path + ".blob", "rb")
-        self._mm = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        # file/mmap opened lazily so the store pickles into spawn-mode
+        # DataLoader workers (each worker maps the file itself)
+        self._file = None
+        self._mm = None
         self._rng = random.Random(seed)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_file"] = None
+        state["_mm"] = None
+        return state
+
+    def _ensure_open(self):
+        if self._mm is None:
+            self._file = open(self.path + ".blob", "rb")
+            self._mm = mmap.mmap(
+                self._file.fileno(), 0, access=mmap.ACCESS_READ
+            )
 
     def __len__(self) -> int:
         return len(self.entries)
 
     def get(self, i: int) -> Tuple[str, bytes]:
+        self._ensure_open()
         key, offset, size = self.entries[i]
         return key, self._mm[offset : offset + size]
 
@@ -63,8 +79,10 @@ class BlobData:
         return self.get(self._rng.randrange(len(self.entries)))
 
     def close(self) -> None:
-        self._mm.close()
-        self._file.close()
+        if self._mm is not None:
+            self._mm.close()
+            self._file.close()
+            self._mm = self._file = None
 
 
 class LmdbData:  # pragma: no cover - optional compat shim

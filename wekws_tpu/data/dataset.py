@@ -313,6 +313,7 @@ class Dataset:
                 fill="duplicate" if self.split == "train" else "invalid",
                 buffer_cap=bc.get("bucket_buffer_cap", 0),
                 max_label_len=fixed_label_len,
+                wire_dtype=bc.get("wire_dtype", "int16"),
             )
         else:
             it = processor.batch(
@@ -321,6 +322,7 @@ class Dataset:
                 bucket_samples=bc.get("bucket_samples", 16000),
                 drop_last=bc.get("drop_last", self.split == "train"),
                 fixed_samples=bc.get("fixed_samples", 0),
+                wire_dtype=bc.get("wire_dtype", "int16"),
             )
         return it
 

@@ -175,19 +175,32 @@ def _emit_batch(
     wave_scale: float,
     n_fill: int = 0,
     fixed_label_len: int = 0,
+    wire_dtype: str = "float32",
 ) -> Dict[str, np.ndarray]:
     """Assemble fixed-shape arrays from ``samples`` (+ ``n_fill``
     zero rows marked invalid).  ``fixed_label_len`` forces the
     label-pad width exactly (bucketed lockstep batches must agree on
     it globally; a label list longer than the cap is an assertion
-    error — upstream filter_length keeps that unreachable)."""
+    error — upstream filter_length keeps that unreachable).
+
+    ``wire_dtype='int16'`` emits waves as int16 (batch_conf knob):
+    halves batch assembly, worker-queue pickling, and H2D bytes.  For
+    unaugmented wavs the round-trip is EXACT (they are int16 on disk
+    and wave_scale restores the stored integers); augmented waves gain
+    <=0.5 LSB rounding — over an order of magnitude below the training
+    dither (1.0 in the same int16 scale).  The device pipeline casts
+    back to f32 (features are computed in f32 either way)."""
     b = len(samples) + n_fill
-    waves = np.zeros((b, smax), np.float32)
+    int16_wire = wire_dtype == "int16"
+    waves = np.zeros((b, smax), np.int16 if int16_wire else np.float32)
     lengths = np.ones((b,), np.int32)  # fill rows: 1 sample, no NaNs
     valid = np.zeros((b,), np.float32)
     for i, s in enumerate(samples):
         n = len(s["wav"])
-        waves[i, :n] = s["wav"] * wave_scale
+        scaled = s["wav"] * wave_scale
+        if int16_wire:
+            scaled = np.clip(np.rint(scaled), -32768, 32767)
+        waves[i, :n] = scaled
         lengths[i] = n
         valid[i] = 0.0 if s.get("_fill") else 1.0
     labels = [s.get("label", 0) for s in samples]
@@ -233,6 +246,7 @@ def batch(
     drop_last: bool = False,
     wave_scale: float = 32768.0,
     fixed_samples: int = 0,
+    wire_dtype: str = "float32",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Batch samples into fixed-shape arrays.
 
@@ -256,7 +270,8 @@ def batch(
         smax = fixed_samples or round_up(
             max(len(s["wav"]) for s in samples), bucket_samples
         )
-        return _emit_batch(samples, smax, wave_scale)
+        return _emit_batch(samples, smax, wave_scale,
+                           wire_dtype=wire_dtype)
 
     for sample in data:
         buf.append(sample)
@@ -276,6 +291,7 @@ def bucket_batch(
     fill: str = "duplicate",
     buffer_cap: int = 0,
     max_label_len: int = 1,
+    wire_dtype: str = "float32",
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Length-bucketed batching under a fixed global schedule.
 
@@ -391,5 +407,5 @@ def bucket_batch(
                 del pool[: len(pool) - batch_size]
         yield _emit_batch(
             rows, boundaries[b], wave_scale, n_fill=n_short,
-            fixed_label_len=max_label_len,
+            fixed_label_len=max_label_len, wire_dtype=wire_dtype,
         )

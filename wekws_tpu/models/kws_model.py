@@ -163,6 +163,7 @@ def init_model(configs: dict) -> KWSModel:
             dropout=bconf.get("dropout", 0.1),
             ds=bconf.get("ds", False),
             dtype=compute_dtype,
+            ghost_bn=int(bconf.get("ghost_bn", 0)),
         )
     elif backbone_type == "mdtc":
         hidden_dim = bconf["hidden_dim"]
@@ -175,6 +176,7 @@ def init_model(configs: dict) -> KWSModel:
             causal=bconf["causal"],
             dtype=compute_dtype,
             remat=bool(bconf.get("remat", False)),
+            ghost_bn=int(bconf.get("ghost_bn", 0)),
         )
     elif backbone_type == "fsmn":
         backbone = FSMN(

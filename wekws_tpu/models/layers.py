@@ -254,6 +254,78 @@ depthwise_conv1d_v_shift_subvjp = _make_variant(
     "v_shift_subvjp", "shifted", "sub_vjp")
 
 
+class GhostBatchNorm(nn.Module):
+    """BatchNorm with per-group ("ghost") training statistics.
+
+    Prototype for the fused-training-kernel direction (PERF.md r2
+    roofline: a whole-backbone Pallas training kernel needs per-tile
+    BN statistics; exact global-batch BN forces an HBM round-trip per
+    layer).  Training: the batch is split into ``num_groups`` equal
+    groups, each normalized by its own (group, channel) statistics;
+    running stats accumulate the group-averaged moments.  Eval is
+    identical to nn.BatchNorm.  Variable names/shapes match
+    nn.BatchNorm exactly (params scale/bias, batch_stats mean/var), so
+    checkpoints, the torch importer, export and the C++ runtime are
+    unaffected by the knob.
+
+    Enable per-model with ``backbone.ghost_bn: G`` (0 = standard BN).
+    Semantics differ from the reference's global-batch BN — gate any
+    default flip on a convergence run (examples/synthetic).
+    """
+
+    num_groups: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale
+            return (
+                (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+                + bias.astype(x.dtype)
+            )
+
+        b = x.shape[0]
+        g = self.num_groups if b % self.num_groups == 0 else 1
+        xg = x.reshape((g, b // g) + x.shape[1:]).astype(jnp.float32)
+        axes = tuple(range(1, xg.ndim - 1))  # per-group batch+spatial
+        gmean = jnp.mean(xg, axis=axes, keepdims=True)  # (g,1,..,C)
+        gvar = jnp.mean(jnp.square(xg - gmean), axis=axes, keepdims=True)
+        y = (xg - gmean) * jax.lax.rsqrt(gvar + self.epsilon)
+        y = y.reshape(x.shape).astype(x.dtype)
+        if not self.is_initializing():
+            new_mean = jnp.mean(gmean, axis=0).reshape((c,))
+            new_var = jnp.mean(gvar, axis=0).reshape((c,))
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * new_mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * new_var
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def batch_norm(train: bool, ghost_bn: int = 0, name: str = "bn"):
+    """BN factory used by the backbones: standard nn.BatchNorm, or
+    GhostBatchNorm when ``ghost_bn`` > 1 (config knob)."""
+    if ghost_bn and ghost_bn > 1:
+        gbn = GhostBatchNorm(num_groups=ghost_bn, name=name)
+        return lambda x: gbn(x, use_running_average=not train)
+    bn = nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        name=name,
+    )
+    return bn
+
+
 # Selected implementation (module-level so experiments can swap it).
 #
 # History (1x TPU v5e, full MDTC train step, bf16):

@@ -22,7 +22,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from wekws_tpu.models.layers import DepthwiseConv1d
+from wekws_tpu.models.layers import DepthwiseConv1d, batch_norm
 
 # Mixed precision: convolution compute in ``dtype`` (bfloat16 on TPU)
 # with float32 parameters; BatchNorm keeps its flax default dtype=None,
@@ -42,6 +42,7 @@ class DSDilatedConv1d(nn.Module):
     dilation: int = 1
     left_pad: int = 0
     dtype: Optional[jnp.dtype] = None
+    ghost_bn: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -53,10 +54,7 @@ class DSDilatedConv1d(nn.Module):
             dtype=self.dtype,
             name="dw_conv",
         )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="bn",
-        )(x)
+        x = batch_norm(train, self.ghost_bn, name="bn")(x)
         x = nn.Conv(self.out_channels, (1,), padding="VALID",
                     dtype=self.dtype, name="pw_conv")(x)
         return x
@@ -68,6 +66,7 @@ class TCNBlock(nn.Module):
     kernel_size: int
     dilation: int
     dtype: Optional[jnp.dtype] = None
+    ghost_bn: int = 0
 
     @property
     def padding(self) -> int:
@@ -93,19 +92,14 @@ class TCNBlock(nn.Module):
             self.dilation,
             left_pad=self.padding if cache is None else 0,
             dtype=self.dtype,
+            ghost_bn=self.ghost_bn,
             name="conv1",
         )(y, train)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="bn1",
-        )(y)
+        y = batch_norm(train, self.ghost_bn, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.res_channels, (1,), padding="VALID",
                     dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="bn2",
-        )(y)
+        y = batch_norm(train, self.ghost_bn, name="bn2")(y)
         if self.in_channels == self.res_channels:
             y = y + x.astype(y.dtype)
         return nn.relu(y), new_cache
@@ -126,6 +120,9 @@ class MDTC(nn.Module):
     # backward's activation HBM traffic (the measured bottleneck,
     # PERF.md roofline).  Numerically identical to remat=False.
     remat: bool = False
+    # Ghost BatchNorm groups (0 = exact global-batch BN, the reference
+    # semantics).  See layers.GhostBatchNorm; gate on a convergence run.
+    ghost_bn: int = 0
 
     def setup(self):
         assert self.kernel_size % 2 == 1
@@ -177,7 +174,8 @@ class MDTC(nn.Module):
         new_caches = []
         y, c = block_cls(
             self.in_channels, self.res_channels, self.kernel_size, 1,
-            dtype=self.dtype, name="preprocessor",
+            dtype=self.dtype, ghost_bn=self.ghost_bn,
+            name="preprocessor",
         )(x, cache[0], train)
         y = nn.relu(y)
         new_caches.append(c)
@@ -191,6 +189,7 @@ class MDTC(nn.Module):
                     self.kernel_size,
                     2 ** i,
                     dtype=self.dtype,
+                    ghost_bn=self.ghost_bn,
                     name=f"stack_{s}_block_{i}",
                 )(y, cache[idx], train)
                 new_caches.append(c)

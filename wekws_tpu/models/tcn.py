@@ -28,7 +28,7 @@ from typing import Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from wekws_tpu.models.layers import DepthwiseConv1d
+from wekws_tpu.models.layers import DepthwiseConv1d, batch_norm
 
 
 class CnnBlock(nn.Module):
@@ -37,6 +37,7 @@ class CnnBlock(nn.Module):
     dilation: int
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None  # conv compute dtype (see mdtc.py)
+    ghost_bn: int = 0
 
     @property
     def padding(self) -> int:
@@ -61,10 +62,7 @@ class CnnBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="bn",
-        )(y)
+        y = batch_norm(train, self.ghost_bn, name="bn")(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return y + x.astype(y.dtype), new_cache
@@ -78,6 +76,7 @@ class DsCnnBlock(nn.Module):
     dilation: int
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    ghost_bn: int = 0
 
     @property
     def padding(self) -> int:
@@ -100,17 +99,11 @@ class DsCnnBlock(nn.Module):
             dtype=self.dtype,
             name="dw_conv",
         )(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="dw_bn",
-        )(y)
+        y = batch_norm(train, self.ghost_bn, name="dw_bn")(y)
         y = nn.relu(y)
         y = nn.Conv(self.channel, (1,), padding="VALID",
                     dtype=self.dtype, name="pw_conv")(y)
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            name="pw_bn",
-        )(y)
+        y = batch_norm(train, self.ghost_bn, name="pw_bn")(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return y + x.astype(y.dtype), new_cache
@@ -123,6 +116,7 @@ class TCN(nn.Module):
     dropout: float = 0.1
     ds: bool = False
     dtype: Optional[jnp.dtype] = None
+    ghost_bn: int = 0
 
     @property
     def paddings(self) -> Sequence[int]:
@@ -157,6 +151,7 @@ class TCN(nn.Module):
                 2 ** i,
                 self.dropout,
                 dtype=self.dtype,
+                ghost_bn=self.ghost_bn,
                 name=f"block_{i}",
             )
             x, c = block(x, cache[i], train)
