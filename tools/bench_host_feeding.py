@@ -93,7 +93,8 @@ def run_host_only(list_path, corpus_dir, num_workers, aug, batch_size):
     dataset = init_dataset(list_path, conf, split="train")
     loader = DataLoader(dataset, num_workers=num_workers, prefetch=8)
     loader.set_epoch(0)
-    next(iter(loader))  # warm caches / spawn workers
+    for _ in loader:  # warm caches / spawn workers (consume fully)
+        pass
     loader.set_epoch(1)
     audio_seconds, n = 0.0, 0
     start = time.perf_counter()
@@ -190,31 +191,51 @@ def run_epoch(list_path, corpus_dir, num_workers, aug, batch_size):
     loader = DataLoader(dataset, num_workers=num_workers, prefetch=8)
     loader.set_epoch(0)
 
-    # build state + compile on one real batch before timing
-    first = next(iter(loader))
-    state = trainer.init_state(jax.random.PRNGKey(0), first, mesh)
+    # warmup epoch 0: consume it FULLY (an abandoned worker epoch keeps
+    # producing in the background and starves the timed epoch), build
+    # state + compile on its first batch, warm the page cache
+    state = None
     key = jax.random.key(1, impl="rbg")
-    db = executor._prepare(first)
-    for _ in range(2):
-        state, metrics = trainer.train_step(state, db, key, 1e-3)
+    for batch in loader:
+        if state is None:
+            state = trainer.init_state(jax.random.PRNGKey(0), batch, mesh)
+            db = executor._prepare(batch)
+            for _ in range(2):
+                state, metrics = trainer.train_step(state, db, key, 1e-3)
     jax.block_until_ready(metrics["loss"])
 
     loader.set_epoch(1)
     audio_seconds = 0.0
     n_batches = 0
+    t_host = t_prep = t_step = 0.0
     start = time.perf_counter()
-    for batch in executor._iterate(loader):
+    it = executor._iterate(loader)
+    while True:
+        t0 = time.perf_counter()
+        batch = next(it, None)
+        t1 = time.perf_counter()
+        if batch is None:
+            break
         audio_seconds += float(batch["wave_lengths"].sum()) / SR
         db = executor._prepare(batch)
+        t2 = time.perf_counter()
         state, metrics = trainer.train_step(state, db, key, 1e-3)
+        t3 = time.perf_counter()
+        t_host += t1 - t0
+        t_prep += t2 - t1
+        t_step += t3 - t2
         n_batches += 1
+    t0 = time.perf_counter()
     jax.block_until_ready(metrics["loss"])
+    t_step += time.perf_counter() - t0
     elapsed = time.perf_counter() - start
     loader.close()
     rate = audio_seconds / elapsed
     print(f"workers={num_workers:3d} aug={aug:4s}: {n_batches} steps, "
           f"{audio_seconds:.0f} audio-s in {elapsed:.1f}s -> "
-          f"{rate:8.0f} audio-s/s/chip", flush=True)
+          f"{rate:8.0f} audio-s/s/chip  "
+          f"[host-wait {t_host:.1f}s, h2d/prep {t_prep:.1f}s, "
+          f"step-dispatch {t_step:.1f}s]", flush=True)
     return rate
 
 
