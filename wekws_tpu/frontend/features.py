@@ -200,7 +200,8 @@ class FeatureExtractor:
         # default (single-pass bf16) loses ~2e-3, and HIGHEST triggers
         # a pathological minutes-long XLA compile on TPU for these
         # shapes (measured: 320s vs 1.2s) with no accuracy need.
-        hi = jax.lax.Precision.HIGH
+        hi = (jax.lax.Precision.DEFAULT if self.cfg.precision == "default"
+              else jax.lax.Precision.HIGH)
         # DC removal + preemphasis + window + DFT in one matmul (see
         # __init__: the chain is linear and folded into self._analysis).
         # (A strided-conv-on-the-wave formulation was measured SLOWER
@@ -259,5 +260,6 @@ def frontend_from_dataset_conf(
         frame_shift_ms=fc.get("frame_shift", 10),
         dither=fc.get("dither", 0.0),
         dither_mode=fc.get("dither_mode", "frame"),
+        precision=fc.get("precision", "high"),
     )
     return FeatureExtractor(cfg, use_fused=use_fused)

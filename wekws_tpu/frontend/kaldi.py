@@ -157,6 +157,12 @@ class FrontendConfig:
     cepstral_lifter: float = 22.0
     # The training pipeline feeds int16-scaled waveforms (wave * 2^15).
     wave_scale: float = float(1 << 15)
+    # Matmul precision of the DFT/mel (+DCT) contractions on TPU:
+    # 'high' (bf16_3x, ~1e-5 rel err — the parity default) or
+    # 'default' (single-pass bf16, ~2e-3 rel err, faster).  fbank_conf
+    # key ``precision``; gate 'default' on a convergence run before
+    # using it for accuracy-reported numbers.
+    precision: str = "high"
 
     @property
     def frame_length(self) -> int:
