@@ -387,3 +387,56 @@ def test_compute_det_sweep_parity(tmp_path):
         rvals = [float(x) for x in rl.split()]
         ovals = [float(x) for x in ol.split()]
         np.testing.assert_allclose(ovals, rvals, atol=1e-6)
+
+
+def test_calculator_parity():
+    """Edit-distance Calculator vs the reference's (loss.py:315-470):
+    same per-call result dicts and accumulated per-token stats on
+    random alignments."""
+    from wekws_tpu.decode.calculator import Calculator
+
+    rng = np.random.default_rng(31)
+    ref_calc = ref_loss.Calculator()
+    our_calc = Calculator()
+    vocab = [str(i) for i in range(1, 6)]
+    for _ in range(40):
+        lab = [str(x) for x in rng.integers(1, 6, rng.integers(0, 8))]
+        # corrupt a copy of lab: substitutions/insertions/deletions
+        rec = list(lab)
+        for _ in range(int(rng.integers(0, 4))):
+            op = rng.integers(0, 3)
+            if op == 0 and rec:
+                rec[rng.integers(0, len(rec))] = vocab[rng.integers(0, 5)]
+            elif op == 1:
+                rec.insert(int(rng.integers(0, len(rec) + 1)),
+                           vocab[rng.integers(0, 5)])
+            elif op == 2 and rec:
+                rec.pop(int(rng.integers(0, len(rec))))
+        want = ref_calc.calculate(list(lab), list(rec))
+        got = our_calc.calculate(list(lab), list(rec))
+        for k in ("all", "cor", "sub", "ins", "del"):
+            assert got[k] == want[k], (lab, rec, k, got, want)
+
+
+def test_acc_utterance_parity():
+    """Decode-based utterance accuracy vs loss.py:102-132 on random
+    peaky posteriors (same beam decode + edit-distance accumulation)."""
+    from wekws_tpu.decode import acc_utterance
+
+    rng = np.random.default_rng(37)
+    b, t, v, u = 4, 20, 6, 5
+    logits = np.stack(
+        [np.log(peaky_posteriors(rng, t, v)) for _ in range(b)]
+    ).astype(np.float32)
+    target = rng.integers(1, v, (b, u)).astype(np.int64)
+    logit_lengths = np.array([20, 16, 20, 12], np.int64)
+    target_lengths = np.array([5, 3, 4, 2], np.int64)
+    # the reference softmaxes internally (loss.py:106); ours takes
+    # already-softmaxed posteriors (they come out of the jitted cv step)
+    want = ref_loss.acc_utterance(
+        torch.from_numpy(logits), torch.from_numpy(target),
+        torch.from_numpy(logit_lengths), torch.from_numpy(target_lengths),
+    )
+    probs = torch.from_numpy(logits).softmax(2).numpy()
+    got = acc_utterance(probs, target, logit_lengths, target_lengths)
+    np.testing.assert_allclose(got, want, atol=1e-9)
