@@ -340,3 +340,41 @@ def test_blobstore_pickles_into_workers(tmp_path, rng):
     clone = pickle.loads(pickle.dumps(store))
     key2, data2 = clone.random_one()
     assert (key, data) == (key2, data2)
+
+
+def test_shm_transport_matches_pickle(corpus):
+    """Shared-memory batch transport (default) must deliver the exact
+    arrays the pickling transport does, across multiple epochs (segment
+    reuse), with both loaders closed cleanly."""
+    from wekws_tpu.data.loader import DataLoader
+
+    conf = {
+        "filter_conf": {"max_length": 2048, "min_length": 0},
+        "resample_conf": {"resample_rate": 16000},
+        "shuffle": False,
+        "batch_conf": {"batch_size": 2, "bucket_samples": 8000},
+    }
+
+    def collect(shm):
+        loader = DataLoader(
+            init_dataset(corpus, conf, split="cv", rank=0, world_size=1),
+            num_workers=2, shm=shm,
+        )
+        out = {}
+        for epoch in (0, 1):
+            loader.set_epoch(epoch)
+            for b in loader:
+                for i, k in enumerate(b["keys"]):
+                    out[(epoch, k)] = (
+                        b["waves"][i].copy(),
+                        int(b["wave_lengths"][i]),
+                    )
+        loader.close()
+        return out
+
+    got = collect(True)
+    want = collect(False)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k][0], want[k][0])
+        assert got[k][1] == want[k][1]

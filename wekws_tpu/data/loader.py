@@ -4,11 +4,18 @@ Equivalent of the reference's DataLoader(num_workers=N, persistent
 workers) over its IterableDataset (train.py:122-137): N long-lived
 worker processes each run a disjoint worker-shard of the host pipeline
 (wav IO, resample, augmentation, batching) and push finished batches
-through a queue.  Workers are spawned once and reused across epochs
+to the parent.  Workers are spawned once and reused across epochs
 (process startup costs seconds when site hooks import heavy
 libraries); an epoch-command channel drives them.  Workers use the
 'spawn' context so they never inherit live TPU runtime state;
 ``num_workers=0`` degrades to the in-process thread prefetcher.
+
+Batch payloads move through POSIX shared memory by default (see
+data/shm.py): only a tiny descriptor rides the queue, so a 33 MB wave
+batch costs two memcpys instead of pickle's serialize/chunked-pipe/
+unpickle round trip — the transport that made workers scale NEGATIVELY
+in the round-3 measurements.  ``shm=False`` falls back to plain queue
+pickling.
 
 Two consumption modes, selected by the dataset's ``ordered`` flag:
 
@@ -23,6 +30,8 @@ Two consumption modes, selected by the dataset's ``ordered`` flag:
 """
 
 import multiprocessing as mp
+import os
+import queue as queue_mod
 from typing import Iterator, Optional
 
 from wekws_tpu.data.prefetch import Prefetcher
@@ -30,18 +39,44 @@ from wekws_tpu.data.prefetch import Prefetcher
 _DONE = "__epoch_done__"
 
 
-def _worker_main(dataset, worker_id, num_workers, cmd_queue, out_queue):
+def _worker_main(dataset, worker_id, num_workers, cmd_queue, out_queue,
+                 free_queue, shm_segments):
     dataset.data_list.set_worker(worker_id, num_workers)
-    while True:
-        epoch = cmd_queue.get()
-        if epoch is None:
-            break
-        try:
-            dataset.set_epoch(epoch)
-            for batch in dataset:
-                out_queue.put(batch)
-        finally:
-            out_queue.put(_DONE)
+    pool = None
+    if shm_segments:
+        from wekws_tpu.data.shm import SegmentPool, pack
+
+        pool = SegmentPool(
+            f"wekws{os.getpid()}w{worker_id}", max_segments=shm_segments
+        )
+    try:
+        while True:
+            epoch = cmd_queue.get()
+            if epoch is None:
+                break
+            try:
+                dataset.set_epoch(epoch)
+                for batch in dataset:
+                    if pool is None:
+                        out_queue.put(batch)
+                        continue
+                    # reclaim consumed segments (block only when the
+                    # pool is exhausted — bounded by in-flight batches)
+                    while True:
+                        try:
+                            pool.release(free_queue.get_nowait())
+                        except queue_mod.Empty:
+                            break
+                    if not pool.free and len(pool.segments) >= shm_segments:
+                        pool.release(free_queue.get())
+                    name, desc = pack(batch, pool)
+                    desc["worker"] = worker_id
+                    out_queue.put((name, desc))
+            finally:
+                out_queue.put(_DONE)
+    finally:
+        if pool is not None:
+            pool.close()
 
 
 class DataLoader:
@@ -52,15 +87,19 @@ class DataLoader:
     shard.  NOTE: like torch's worker sharding, each worker drops its
     own remainder batch when drop_last is set."""
 
-    def __init__(self, dataset, num_workers: int = 0, prefetch: int = 8):
+    def __init__(self, dataset, num_workers: int = 0, prefetch: int = 8,
+                 shm: bool = True):
         self.dataset = dataset
         self.num_workers = num_workers
         self.prefetch = prefetch
+        self.shm = shm
         self.ordered = bool(getattr(dataset, "ordered", False))
         self._epoch = 0
         self._procs: Optional[list] = None
         self._cmd_queues = None
         self._out_queues = None
+        self._free_queues = None
+        self._attached: dict = {}
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -83,12 +122,15 @@ class DataLoader:
             )
             self._out_queues = [shared] * self.num_workers
         self._cmd_queues = [ctx.Queue() for _ in range(self.num_workers)]
+        self._free_queues = [ctx.Queue() for _ in range(self.num_workers)]
+        shm_segments = (max(self.prefetch, 2) + 2) if self.shm else 0
         self._procs = []
         for w in range(self.num_workers):
             p = ctx.Process(
                 target=_worker_main,
                 args=(self.dataset, w, self.num_workers,
-                      self._cmd_queues[w], self._out_queues[w]),
+                      self._cmd_queues[w], self._out_queues[w],
+                      self._free_queues[w], shm_segments),
                 daemon=True,
             )
             p.start()
@@ -103,6 +145,10 @@ class DataLoader:
             p.join(timeout=5)
             if p.is_alive():
                 p.terminate()
+        if self._attached:
+            from wekws_tpu.data.shm import detach_all
+
+            detach_all(self._attached)
         self._procs = None
 
     def __del__(self):  # best-effort cleanup
@@ -111,19 +157,36 @@ class DataLoader:
         except Exception:
             pass
 
+    def _materialize(self, item):
+        """Queue item -> batch dict (resolving shm descriptors)."""
+        if not self.shm:
+            return item
+        from wekws_tpu.data.shm import unpack
+
+        name, desc = item
+        batch = unpack(name, desc, self._attached)
+        self._free_queues[desc["worker"]].put(name)
+        return batch
+
     def _drain(self, done):
         """Consume until every worker has sent _DONE (abandoned epoch:
         workers must finish so the loader stays reusable)."""
         if self.ordered:
             for w in range(self.num_workers):
                 while not done[w]:
-                    if self._out_queues[w].get() == _DONE:
+                    item = self._out_queues[w].get()
+                    if isinstance(item, str) and item == _DONE:
                         done[w] = True
+                    elif self.shm:
+                        self._free_queues[item[1]["worker"]].put(item[0])
         else:
             remaining = done.count(False)
             while remaining:
-                if self._out_queues[0].get() == _DONE:
+                item = self._out_queues[0].get()
+                if isinstance(item, str) and item == _DONE:
                     remaining -= 1
+                elif self.shm:
+                    self._free_queues[item[1]["worker"]].put(item[0])
 
     def __iter__(self) -> Iterator:
         if self.num_workers <= 0:
@@ -142,7 +205,7 @@ class DataLoader:
                         remaining -= 1
                         done[done.index(False)] = True
                     else:
-                        yield item
+                        yield self._materialize(item)
                 return
             next_w = 0
             while not all(done):
@@ -151,7 +214,7 @@ class DataLoader:
                     if isinstance(item, str) and item == _DONE:
                         done[next_w] = True
                     else:
-                        yield item
+                        yield self._materialize(item)
                 next_w = (next_w + 1) % self.num_workers
         finally:
             self._drain(done)
