@@ -84,14 +84,16 @@ def ensure_corpus(corpus_dir: str, utts: int) -> str:
     return list_path
 
 
-def run_host_only(list_path, corpus_dir, num_workers, aug, batch_size):
+def run_host_only(list_path, corpus_dir, num_workers, aug, batch_size,
+                  shm=True):
     """Host pipeline production rate alone (no device, no transfers)."""
     from wekws_tpu.data.dataset import init_dataset
     from wekws_tpu.data.loader import DataLoader
 
     conf = make_conf(corpus_dir, aug, batch_size)
     dataset = init_dataset(list_path, conf, split="train")
-    loader = DataLoader(dataset, num_workers=num_workers, prefetch=8)
+    loader = DataLoader(dataset, num_workers=num_workers, prefetch=8,
+                        shm=shm)
     loader.set_epoch(0)
     for _ in loader:  # warm caches / spawn workers (consume fully)
         pass
@@ -104,8 +106,9 @@ def run_host_only(list_path, corpus_dir, num_workers, aug, batch_size):
     elapsed = time.perf_counter() - start
     loader.close()
     rate = audio_seconds / elapsed
-    print(f"HOST-ONLY workers={num_workers:3d} aug={aug:4s}: {n} batches "
-          f"-> {rate:8.0f} audio-s/s", flush=True)
+    print(f"HOST-ONLY workers={num_workers:3d} aug={aug:4s} "
+          f"shm={int(shm)}: {n} batches -> {rate:8.0f} audio-s/s",
+          flush=True)
     return rate
 
 
@@ -248,6 +251,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--mode", choices=["train", "host", "h2d"],
                     default="train")
+    ap.add_argument("--no_shm", action="store_true")
     args = ap.parse_args()
 
     list_path = ensure_corpus(args.corpus_dir, args.utts)
@@ -258,7 +262,7 @@ def main():
         for w in args.workers:
             if args.mode == "host":
                 run_host_only(list_path, args.corpus_dir, w, aug,
-                              args.batch_size)
+                              args.batch_size, shm=not args.no_shm)
             else:
                 run_epoch(list_path, args.corpus_dir, w, aug,
                           args.batch_size)
