@@ -378,3 +378,44 @@ def test_shm_transport_matches_pickle(corpus):
     for k in want:
         np.testing.assert_array_equal(got[k][0], want[k][0])
         assert got[k][1] == want[k][1]
+
+
+def test_add_reverb_matches_fftconvolve(tmp_path, rng):
+    """Cached-spectrum reverb == scipy fftconvolve(full)[:n] to f32
+    roundoff (different FFT evaluation order only)."""
+    import random as pyrandom
+
+    from scipy.signal import fftconvolve
+
+    from wekws_tpu.data import processor
+
+    with BlobWriter(str(tmp_path / "rir")) as w:
+        for i in range(2):
+            r = (rng.standard_normal(1600)
+                 * np.exp(-np.arange(1600) / 800)).astype(np.float32)
+            p = tmp_path / f"rir_{i}.wav"
+            write_wav(str(p), r / 10, 16000)
+            w.put(f"rir_{i}", p.read_bytes())
+
+    samples = [
+        {"key": f"s{i}",
+         "wav": rng.standard_normal(9000 + i * 50).astype(np.float32)}
+        for i in range(4)
+    ]
+    pyrandom.seed(9)
+    got = [
+        s["wav"]
+        for s in processor.add_reverb(
+            iter([dict(x) for x in samples]),
+            BlobData(str(tmp_path / "rir"), seed=2), 1.0,
+        )
+    ]
+    pyrandom.seed(9)
+    store = BlobData(str(tmp_path / "rir"), seed=2)
+    for g, s in zip(got, samples):
+        pyrandom.random()  # the aug_prob draw
+        _, rb = store.random_one()
+        rir, _ = read_wav(rb)
+        rir = rir / np.sqrt(np.sum(rir ** 2))
+        want = fftconvolve(s["wav"], rir, mode="full")[: len(s["wav"])]
+        np.testing.assert_allclose(g, want.astype(np.float32), atol=3e-6)

@@ -103,24 +103,57 @@ def speed_perturb(
         yield sample
 
 
+class _DecodeCache:
+    """Small keyed cache of decoded augmentation-corpus waveforms.
+
+    Noise/RIR stores hold a few dozen entries but are sampled once per
+    utterance; decoding the same wav bytes every draw dominated the aug
+    pipeline profile (PERF.md round 3).  Identical numerics — it only
+    memoizes read_wav."""
+
+    def __init__(self, max_items: int = 256):
+        self.max_items = max_items
+        self.data: Dict = {}
+
+    def get(self, key, compute):
+        if key not in self.data:
+            if len(self.data) >= self.max_items:
+                self.data.pop(next(iter(self.data)))
+            self.data[key] = compute()
+        return self.data[key]
+
+
 def add_reverb(
     data: Iterable[dict], reverb_source: BlobData, aug_prob: float
 ) -> Iterator[dict]:
     """Convolve with a random RIR (L2-normalized), truncated to the
-    original length (processor.py:374-392)."""
-    from scipy.signal import fftconvolve
+    original length (processor.py:374-392).
 
+    Same math as scipy.signal.fftconvolve(mode='full')[:len(wave)] —
+    rfft/irfft at next_fast_len — but the normalized RIR and its
+    spectrum are cached per (rir, fft size), halving FFT work."""
+    from scipy.fft import irfft, next_fast_len, rfft
+
+    rir_cache = _DecodeCache()
+    spec_cache = _DecodeCache()
     for sample in data:
         if aug_prob > random.random():
             wave = sample["wav"]
-            _, rir_bytes = reverb_source.random_one()
-            rir, _ = audio.read_wav(rir_bytes)
-            norm = np.sqrt(np.sum(rir ** 2))
-            if norm > 0:
-                rir = rir / norm
-                sample["wav"] = fftconvolve(wave, rir, mode="full")[
-                    : len(wave)
-                ].astype(np.float32)
+            key, rir_bytes = reverb_source.random_one()
+
+            def decode():
+                rir, _ = audio.read_wav(rir_bytes)
+                norm = np.sqrt(np.sum(rir ** 2))
+                return rir / norm if norm > 0 else None
+
+            rir = rir_cache.get(key, decode)
+            if rir is not None:
+                nfft = next_fast_len(len(wave) + len(rir) - 1)
+                rir_f = spec_cache.get(
+                    (key, nfft), lambda: rfft(rir, nfft)
+                )
+                out = irfft(rfft(wave, nfft) * rir_f, nfft)
+                sample["wav"] = out[: len(wave)].astype(np.float32)
         yield sample
 
 
@@ -132,6 +165,7 @@ def add_noise(
 ) -> Iterator[dict]:
     """Additive noise at an SNR drawn per noise-key prefix
     (processor.py:395-430)."""
+    cache = _DecodeCache()
     for sample in data:
         if aug_prob > random.random():
             wave = sample["wav"]
@@ -139,7 +173,7 @@ def add_noise(
             key, noise_bytes = noise_source.random_one()
             prefix = str(key).split("/")[-1].split("_")[0]
             lo, hi = _SNR_RANGES.get(prefix, (0, 15))
-            noise, _ = audio.read_wav(noise_bytes)
+            noise = cache.get(key, lambda: audio.read_wav(noise_bytes)[0])
             if len(noise) > n:
                 start = random.randint(0, len(noise) - n)
                 noise = noise[start : start + n]
