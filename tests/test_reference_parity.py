@@ -440,3 +440,63 @@ def test_acc_utterance_parity():
     probs = torch.from_numpy(logits).softmax(2).numpy()
     got = acc_utterance(probs, target, logit_lengths, target_lengths)
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_CONFIGS))
+def test_export_torch_roundtrip(name):
+    """Reverse migration: OUR randomly initialized model exported via
+    tools/export_torch loads into the real reference init_model with
+    strict=True and produces the same forward — models trained here
+    run in the reference's tooling."""
+    import jax
+
+    from wekws_tpu.tools.export_torch import export_torch_state_dict
+
+    conf = MODEL_CONFIGS[name]
+    ours = init_model(conf)
+    x = np.random.default_rng(71).standard_normal(
+        (2, 30, conf["input_dim"])
+    ).astype(np.float32)
+    variables = ours.init(jax.random.PRNGKey(3), jnp.asarray(x))
+    got, _ = ours.apply(variables, jnp.asarray(x))
+
+    sd = export_torch_state_dict(
+        variables["params"], variables.get("batch_stats"), conf
+    )
+    ref = ref_init_model(conf)
+    ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()},
+        strict=True,
+    )
+    ref.eval()
+    with torch.no_grad():
+        want, _ = ref(torch.from_numpy(x), ref_initial_cache(name, conf, 2))
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy(), atol=1e-5, rtol=1e-4
+    )
+
+
+def test_export_import_involution():
+    """import(export(tree)) == tree exactly (layout permutations are
+    inverses)."""
+    import jax
+
+    from wekws_tpu.tools.export_torch import export_torch_state_dict
+
+    conf = MODEL_CONFIGS["mdtc"]
+    ours = init_model(conf)
+    x = jnp.zeros((1, 20, conf["input_dim"]))
+    variables = ours.init(jax.random.PRNGKey(5), x)
+    sd = export_torch_state_dict(
+        variables["params"], variables.get("batch_stats"), conf
+    )
+    params2, stats2, _ = import_torch_checkpoint(sd, conf)
+
+    flat1 = jax.tree_util.tree_leaves_with_path(variables["params"])
+    flat2 = jax.tree_util.tree_leaves_with_path(params2)
+    assert len(flat1) == len(flat2)
+    for (p1, v1), (p2, v2) in zip(sorted(flat1, key=str),
+                                  sorted(flat2, key=str)):
+        assert str(p1) == str(p2)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
