@@ -9,12 +9,21 @@ Slow (~2 min): gated behind RUN_MULTIHOST=1.
 """
 
 import os
+import socket
 import subprocess
 import sys
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def free_port() -> str:
+    """OS-assigned free TCP port (fixed ports collide across parallel
+    CI runs)."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
 
 WORKER = r'''
 import os, sys
@@ -66,7 +75,7 @@ print(f"MH_OK proc={pid} loss={loss:.4f}", flush=True)
 def test_two_process_data_parallel(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
-    port = "12391"
+    port = free_port()
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     procs = [
@@ -171,7 +180,7 @@ def test_two_process_bucketed_lockstep(tmp_path):
 
     worker = tmp_path / "bucket_worker.py"
     worker.write_text(BUCKET_WORKER)
-    port = "12395"
+    port = free_port()
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     procs = [
@@ -303,7 +312,7 @@ def test_two_process_bucketed_ctc_lockstep(tmp_path):
 
     worker = tmp_path / "ctc_worker.py"
     worker.write_text(CTC_BUCKET_WORKER)
-    port = "12399"
+    port = free_port()
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     procs = [
@@ -416,7 +425,7 @@ def test_two_process_lockstep_fast(tmp_path):
 
     worker = tmp_path / "fast_worker.py"
     worker.write_text(FAST_WORKER)
-    port = "12403"
+    port = free_port()
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     procs = [

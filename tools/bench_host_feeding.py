@@ -173,7 +173,7 @@ def make_conf(corpus_dir, aug, batch_size):
 def run_epoch(list_path, corpus_dir, num_workers, aug, batch_size):
     import jax
 
-    from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
+    from __graft_entry__ import FLAGSHIP_MODEL_CONF
     from wekws_tpu.data.dataset import init_dataset
     from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
     from wekws_tpu.data.loader import DataLoader
