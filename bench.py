@@ -18,6 +18,83 @@ import time
 import numpy as np
 
 
+def bench_ctc(n_devices, mesh):
+    """CTC training throughput at the reference's production FSMN-CTC
+    shape (hi_xiaowen conf/fsmn_ctc.yaml: 80-mel + splice(2,2) +
+    frame_skip 3 -> 400-dim input, 4-layer FSMN, char vocab) —
+    BENCH_CRITERION=ctc.  Prints the same JSON line."""
+    import time
+
+    import jax
+
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+    from wekws_tpu.models import init_model
+    from wekws_tpu.parallel import shard_batch
+    from wekws_tpu.train import Trainer
+
+    dataset_conf = {
+        "feats_type": "fbank",
+        "fbank_conf": {"num_mel_bins": 80, "frame_shift": 10,
+                       "frame_length": 25, "dither": 1.0,
+                       "dither_mode": "wave", "precision": "default"},
+        "context_expansion": True,
+        "context_expansion_conf": {"left": 2, "right": 2},
+        "frame_skip": 3,
+        "spec_aug": True,
+        "spec_aug_conf": {"num_t_mask": 1, "num_f_mask": 1,
+                          "max_t": 20, "max_f": 10},
+    }
+    vocab = int(os.environ.get("BENCH_CTC_VOCAB", 2599))
+    model_conf = {
+        "input_dim": 400, "output_dim": vocab, "hidden_dim": 128,
+        "dtype": os.environ.get("BENCH_DTYPE", "bfloat16"),
+        "preprocessing": {"type": "none"},
+        "backbone": {"type": "fsmn", "input_affine_dim": 140,
+                     "num_layers": 4, "linear_dim": 250,
+                     "proj_dim": 128, "left_order": 10,
+                     "right_order": 2, "left_stride": 1,
+                     "right_stride": 1, "output_affine_dim": 140},
+        "classifier": {"type": "identity", "dropout": 0.1},
+        "activation": {"type": "identity"},
+    }
+    model = init_model(model_conf)
+    pipeline = DeviceFeaturePipeline.from_conf(dataset_conf, training=True)
+    cvp = DeviceFeaturePipeline.from_conf(dataset_conf, training=False)
+    trainer = Trainer(model, pipeline, cvp, "ctc", learning_rate=1e-3,
+                      grad_clip=5.0)
+
+    b = int(os.environ.get("BENCH_BATCH_PER_CHIP", 256)) * n_devices
+    seconds = 2.0
+    s = int(16000 * seconds)
+    u = 6
+    rng = np.random.default_rng(0)
+    batch = {
+        "waves": (rng.standard_normal((b, s)) * 1000).astype(np.float32),
+        "wave_lengths": np.full((b,), s, np.int32),
+        "target": rng.integers(1, vocab, (b, u)).astype(np.int32),
+        "target_lengths": np.full((b,), u, np.int32),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, mesh)
+    db = shard_batch(batch, mesh)
+    key = jax.random.key(1, impl="rbg")
+    for _ in range(2):
+        state, metrics = trainer.train_step(state, db, key, 1e-3)
+    jax.block_until_ready(metrics["loss"])
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = trainer.train_step(state, db, key, 1e-3)
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - start
+    value = b * seconds * iters / elapsed / n_devices
+    print(json.dumps({
+        "metric": "ctc_train_audio_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     import jax
 
@@ -36,6 +113,9 @@ def main():
 
     n_devices = len(jax.devices())
     mesh = make_mesh()
+    criterion = os.environ.get("BENCH_CRITERION", "max_pooling")
+    if criterion == "ctc":
+        return bench_ctc(n_devices, mesh)
     model_conf = dict(FLAGSHIP_MODEL_CONF)
     # Mixed precision is the TPU training default: bf16 conv compute,
     # f32 params/BN-stats/loss (models/mdtc.py header).  Synthetic
