@@ -541,3 +541,122 @@ class TestGhostBatchNorm:
             np.asarray(jnp.concatenate(outs, axis=1)), np.asarray(full),
             atol=1e-5,
         )
+
+
+class TestExactBatchNorm:
+    def test_matches_flax_bn_fwd_bwd_stats(self):
+        import jax
+        import jax.numpy as jnp
+        import flax.linen as nn
+
+        from wekws_tpu.models.layers import ExactBatchNorm
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.standard_normal((8, 12, 6)) * 2 + 1, jnp.float32
+        )
+        co = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+        params = {
+            "scale": jnp.asarray(rng.standard_normal(6) + 1, jnp.float32),
+            "bias": jnp.asarray(rng.standard_normal(6), jnp.float32),
+        }
+        ebn = ExactBatchNorm()
+        bn = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                          epsilon=1e-5)
+        stats0 = ebn.init(
+            jax.random.PRNGKey(0), x, use_running_average=False
+        )["batch_stats"]
+
+        ye, se = ebn.apply(
+            {"params": params, "batch_stats": stats0}, x,
+            use_running_average=False, mutable=["batch_stats"],
+        )
+        yb, sb = bn.apply(
+            {"params": params, "batch_stats": stats0}, x,
+            mutable=["batch_stats"],
+        )
+        np.testing.assert_allclose(np.asarray(ye), np.asarray(yb),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(se["batch_stats"]["var"]),
+            np.asarray(sb["batch_stats"]["var"]), rtol=1e-4,
+        )
+
+        def fe(p, x):
+            y, _ = ebn.apply(
+                {"params": p, "batch_stats": stats0}, x,
+                use_running_average=False, mutable=["batch_stats"],
+            )
+            return jnp.sum(y * co)
+
+        def fb(p, x):
+            y, _ = bn.apply(
+                {"params": p, "batch_stats": stats0}, x,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(y * co)
+
+        ge = jax.grad(fe, argnums=(0, 1))(params, x)
+        gb = jax.grad(fb, argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(ge[1]), np.asarray(gb[1]),
+                                   atol=1e-4, rtol=1e-4)
+        for k in ("scale", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(ge[0][k]), np.asarray(gb[0][k]),
+                atol=1e-4, rtol=1e-4,
+            )
+        # eval mode uses the updated running stats identically
+        ye2 = ebn.apply(
+            {"params": params, "batch_stats": se["batch_stats"]}, x,
+            use_running_average=True,
+        )
+        yb2 = nn.BatchNorm(
+            use_running_average=True, momentum=0.9, epsilon=1e-5
+        ).apply({"params": params, "batch_stats": sb["batch_stats"]}, x)
+        np.testing.assert_allclose(np.asarray(ye2), np.asarray(yb2),
+                                   atol=1e-5)
+
+    def test_model_grads_match_with_exact_bn(self):
+        import jax
+        import jax.numpy as jnp
+
+        from wekws_tpu.models import init_model, layers
+
+        conf = {
+            "input_dim": 10, "output_dim": 1, "hidden_dim": 8,
+            "preprocessing": {"type": "linear"},
+            "backbone": {"type": "mdtc", "num_stack": 1, "stack_size": 2,
+                         "kernel_size": 3, "hidden_dim": 8, "causal": True},
+        }
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((4, 20, 10)),
+            jnp.float32,
+        )
+
+        def grads(exact):
+            old = layers.BATCH_NORM_EXACT
+            layers.BATCH_NORM_EXACT = exact
+            try:
+                model = init_model(conf)
+                v = model.init(jax.random.PRNGKey(0), x)
+
+                def loss(p):
+                    (y, _), _ = model.apply(
+                        {"params": p, "batch_stats": v["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(1)},
+                    )
+                    return jnp.sum(y ** 2)
+
+                return jax.grad(loss)(v["params"])
+            finally:
+                layers.BATCH_NORM_EXACT = old
+
+        ga = grads(False)
+        gb = grads(True)
+        flat_a = jax.tree_util.tree_leaves(ga)
+        flat_b = jax.tree_util.tree_leaves(gb)
+        for a, b_ in zip(flat_a, flat_b):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3
+            )

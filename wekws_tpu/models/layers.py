@@ -313,12 +313,121 @@ class GhostBatchNorm(nn.Module):
         return y * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_apply(x, scale, bias, eps, mean, var):
+    """Training-mode BN apply with precomputed batch stats and a
+    hand-written backward.
+
+    XLA autodiff of the batch-statistics path loses its reduce/
+    broadcast fusion above B~768 (PERF.md r3: 3.27x grad scaling at 2x
+    batch vs 1.79x for the eval path).  The textbook BN backward is
+    two reductions + one elementwise pass:
+
+      dbeta  = sum(dy);  dgamma = sum(dy * xhat)
+      dx = gamma*inv/N * (N*dy - dbeta - xhat*dgamma)
+
+    Exact same math as autodiff (mean/var treated as functions of x),
+    just written as explicit reductions.
+    """
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    return xhat * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def _bn_train_fwd(x, scale, bias, eps, mean, var):
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    y = xhat * scale.astype(x.dtype) + bias.astype(x.dtype)
+    return y, (xhat, inv, scale)
+
+
+def _bn_train_bwd(eps, res, dy):
+    xhat, inv, scale = res
+    axes = tuple(range(dy.ndim - 1))  # all but channel
+    n = 1
+    for a in axes:
+        n *= dy.shape[a]
+    dy32 = dy.astype(jnp.float32)
+    xhat32 = xhat.astype(jnp.float32)
+    dbeta = jnp.sum(dy32, axis=axes)
+    dgamma = jnp.sum(dy32 * xhat32, axis=axes)
+    g = (scale.astype(jnp.float32) * inv.astype(jnp.float32)) / n
+    dx = g.astype(dy.dtype) * (
+        n * dy
+        - dbeta.astype(dy.dtype)
+        - xhat * dgamma.astype(dy.dtype)
+    )
+    # cotangents for (x, scale, bias, mean, var): mean/var were
+    # computed FROM x, and their contribution is already folded into
+    # the dx formula above, so they get symbolic zeros
+    return (dx, dgamma.astype(scale.dtype), dbeta.astype(scale.dtype),
+            jnp.zeros_like(inv), jnp.zeros_like(inv))
+
+
+_bn_train_apply.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+class ExactBatchNorm(nn.Module):
+    """nn.BatchNorm drop-in (same variable names/semantics) with the
+    hand-written training backward above.  Gradients are identical to
+    autodiff (pinned in tests); only the HLO the backward lowers to
+    changes.  Select with models.layers.batch_norm(..., exact=True)
+    or the module-level BATCH_NORM_EXACT flag."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, use_running_average: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if use_running_average:
+            inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            return (
+                (x - ra_mean.value.astype(x.dtype)) * inv.astype(x.dtype)
+                + bias.astype(x.dtype)
+            )
+        axes = tuple(range(x.ndim - 1))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
+        y = _bn_train_apply(
+            x, scale, bias, self.epsilon,
+            mean.astype(x.dtype), var.astype(x.dtype),
+        )
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+            ra_var.value = m * ra_var.value + (1.0 - m) * var
+        return y
+
+
+# Training BN implementation selector.  ExactBatchNorm is the default:
+# same math as nn.BatchNorm (gradient parity pinned in
+# tests/test_models.py) but its hand-written backward restores the
+# reduce/broadcast fusion XLA loses above B~768 — measured
+# 138.2k -> 147.3k audio-s/s at B=512 and 90.4k -> 120.7k at B=1024
+# (PERF.md round 3).  Set False to fall back to flax nn.BatchNorm.
+BATCH_NORM_EXACT = True
+
+
 def batch_norm(train: bool, ghost_bn: int = 0, name: str = "bn"):
-    """BN factory used by the backbones: standard nn.BatchNorm, or
-    GhostBatchNorm when ``ghost_bn`` > 1 (config knob)."""
+    """BN factory used by the backbones: standard nn.BatchNorm,
+    ExactBatchNorm (hand-written backward) when BATCH_NORM_EXACT is
+    set, or GhostBatchNorm when ``ghost_bn`` > 1 (config knob)."""
     if ghost_bn and ghost_bn > 1:
         gbn = GhostBatchNorm(num_groups=ghost_bn, name=name)
         return lambda x: gbn(x, use_running_average=not train)
+    if BATCH_NORM_EXACT:
+        ebn = ExactBatchNorm(name=name)
+        return lambda x: ebn(x, use_running_average=not train)
     bn = nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
         name=name,
