@@ -122,6 +122,17 @@ def main():
     # recipe converges identically to f32 (PERF.md round 2); override
     # with BENCH_DTYPE=float32 to bench the pure-f32 path.
     model_conf["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    # bf16 BN activations ride along with bf16 convs (statistics stay
+    # f32); convergence-gated vs the f32-BN bf16 path (PERF.md r3
+    # 'bn_dtype gate').  BENCH_BN_DTYPE=float32 reverts.
+    bn_dtype = os.environ.get(
+        "BENCH_BN_DTYPE",
+        "bfloat16" if model_conf["dtype"] == "bfloat16" else "",
+    )
+    if bn_dtype and bn_dtype != "float32":
+        model_conf["backbone"] = {
+            **model_conf["backbone"], "bn_dtype": bn_dtype,
+        }
     if os.environ.get("BENCH_REMAT"):
         model_conf["backbone"] = {
             **model_conf["backbone"], "remat": True,

@@ -16,7 +16,10 @@ namespace wekws {
 
 class WavReader {
  public:
-  explicit WavReader(const std::string& path) { WEKWS_CHECK(Load(path)); }
+  explicit WavReader(const std::string& path) {
+    ok_ = Load(path);
+    WEKWS_CHECK(ok_);
+  }
   // Non-aborting construction for FFI callers (capi): check ok().
   struct NoAbort {};
   WavReader(const std::string& path, NoAbort) { ok_ = Load(path); }
@@ -63,7 +66,23 @@ class WavReader {
         std::fread(&byte_rate, 4, 1, fp);
         std::fread(&block_align, 2, 1, fp);
         std::fread(&bits, 2, 1, fp);
-        if (size > 16) std::fseek(fp, size - 16, SEEK_CUR);
+        uint32_t consumed = 16;
+        if (format == 0xFFFE && size >= 26) {
+          // WAVE_FORMAT_EXTENSIBLE: the REAL format code is the first
+          // two bytes of the SubFormat GUID (after cbSize,
+          // wValidBitsPerSample, dwChannelMask) — resolve it so float
+          // wavs wrapped in 0xFFFE are rejected, not decoded as int32
+          uint16_t cb = 0, valid_bits = 0;
+          uint32_t channel_mask = 0;
+          uint16_t sub_format = 0;
+          std::fread(&cb, 2, 1, fp);
+          std::fread(&valid_bits, 2, 1, fp);
+          std::fread(&channel_mask, 4, 1, fp);
+          std::fread(&sub_format, 2, 1, fp);
+          format = sub_format;
+          consumed = 26;
+        }
+        if (size > consumed) std::fseek(fp, size - consumed, SEEK_CUR);
         got_fmt = true;
       } else if (std::memcmp(id, "data", 4) == 0) {
         WEKWS_CHECK(got_fmt) << "data chunk before fmt";
@@ -72,9 +91,9 @@ class WavReader {
         // through every branch and push 0.0f — e.g. a 24-bit wav
         // decoded as silence).  The plain constructor aborts via its
         // WEKWS_CHECK; the NoAbort form reports ok()=false.
-        if (!(format == 1 || format == 0xFFFE)) {
+        if (format != 1) {
           LOG_ERROR << path << ": unsupported wav format tag " << format
-                    << " (PCM only)";
+                    << " (integer PCM only)";
           std::fclose(fp);
           return false;
         }

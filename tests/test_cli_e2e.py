@@ -144,7 +144,7 @@ def test_full_cli_flow(workspace):
         "--stats_file", str(stats_file),
         "--window_shift", "10",
     )
-    rows = [l.split() for l in stats_file.read_text().splitlines()]
+    rows = [ln.split() for ln in stats_file.read_text().splitlines()]
     assert len(rows) > 90
     # trained model separates tones: some threshold with low FRR
     frrs = [float(r[2]) for r in rows]

@@ -164,9 +164,9 @@ def test_kws_main_binary(capi, tmp_path, rng):
         [exe, out_dir, wav_path, "40"], capture_output=True, text=True,
         check=True,
     )
-    lines = [l for l in result.stdout.splitlines() if l.startswith("frame")]
+    lines = [ln for ln in result.stdout.splitlines() if ln.startswith("frame")]
     assert len(lines) == 98
-    assert all(len(l.split()) == 2 + 3 for l in lines)
+    assert all(len(ln.split()) == 2 + 3 for ln in lines)
 
 
 def test_cpp_static_quantized_matches_np_spec(capi, tmp_path, rng):
@@ -218,11 +218,11 @@ def test_stream_kws_main_stdin_pcm(capi, tmp_path, rng):
         [exe, out_dir, "16"], input=pcm, capture_output=True, check=True,
     )
     lines = [
-        l for l in result.stdout.decode().splitlines()
+        ln for ln in result.stdout.decode().splitlines()
         if l.startswith("frame")
     ]
     assert len(lines) == 98
-    assert all(len(l.split()) == 2 + 3 for l in lines)
+    assert all(len(ln.split()) == 2 + 3 for ln in lines)
 
 
 def test_stream_kws_main_mic_unavailable(capi, tmp_path, rng):
@@ -391,4 +391,44 @@ def test_wav_reader_rejects_unsupported(capi, tmp_path):
 
     missing = str(tmp_path / "nope.wav")
     n, _ = read_wav_capi(capi, missing)
+    assert n is None
+
+
+def write_wav_extensible(path, pcm_bytes, bits, sub_format,
+                         channels=1, rate=16000):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) with a 40-byte fmt chunk."""
+    import struct
+
+    block_align = channels * bits // 8
+    guid_tail = b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38" \
+                b"\x9b\x71"
+    fmt = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, channels, rate, rate * block_align,
+        block_align, bits, 22, bits, 1,
+    ) + struct.pack("<H", sub_format) + guid_tail
+    hdr = b"RIFF" + struct.pack("<I", 36 + 24 + len(pcm_bytes)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    hdr += b"data" + struct.pack("<I", len(pcm_bytes))
+    with open(path, "wb") as f:
+        f.write(hdr + pcm_bytes)
+
+
+def test_wav_reader_extensible_format(capi, tmp_path):
+    """0xFFFE wavs resolve the SubFormat: extensible int PCM decodes,
+    extensible IEEE-float is REJECTED (not decoded as int garbage)."""
+    import struct
+
+    vals = [0, 1000, -1000]
+    p_pcm = str(tmp_path / "ext_pcm.wav")
+    write_wav_extensible(p_pcm, struct.pack("<3h", *vals), 16,
+                         sub_format=1)
+    got, rate = read_wav_capi(capi, p_pcm)
+    assert rate == 16000
+    np.testing.assert_array_equal(got, np.asarray(vals, np.float32))
+
+    p_float = str(tmp_path / "ext_float.wav")
+    write_wav_extensible(
+        p_float, struct.pack("<3f", 0.0, 0.5, -0.5), 32, sub_format=3
+    )
+    n, _ = read_wav_capi(capi, p_float)
     assert n is None

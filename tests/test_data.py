@@ -419,3 +419,61 @@ def test_add_reverb_matches_fftconvolve(tmp_path, rng):
         rir = rir / np.sqrt(np.sum(rir ** 2))
         want = fftconvolve(s["wav"], rir, mode="full")[: len(s["wav"])]
         np.testing.assert_allclose(g, want.astype(np.float32), atol=3e-6)
+
+
+def test_worker_augmentation_decorrelated(tmp_path, corpus):
+    """Spawn workers inherit a pickled Dataset; per-worker seeding must
+    decorrelate the global-random aug draws AND the noise-store
+    sampler, or every worker applies the same augmentation sequence."""
+    import random as pyrandom
+
+    with BlobWriter(str(tmp_path / "noise")) as w:
+        for i in range(8):
+            wav = tmp_path / f"noise_{i}.wav"
+            write_wav(str(wav), np.zeros(400, np.float32), 16000)
+            w.put(f"noise_{i}", wav.read_bytes())
+    conf = {
+        "filter_conf": {"max_length": 2048, "min_length": 0},
+        "resample_conf": {"resample_rate": 16000},
+        "noise_source": str(tmp_path / "noise"),
+        "noise_prob": 0.5,
+        "shuffle": True,
+        "batch_conf": {"batch_size": 2, "bucket_samples": 8000},
+    }
+
+    def draws(worker):
+        ds = init_dataset(corpus, conf, split="train", rank=0, world_size=1)
+        ds.data_list.set_worker(worker, 2)
+        ds.set_epoch(3)
+        globals_seq = [pyrandom.random() for _ in range(6)]
+        store_seq = [ds._noise_store.random_one()[0] for _ in range(6)]
+        return globals_seq, store_seq
+
+    g0, s0 = draws(0)
+    g1, s1 = draws(1)
+    assert g0 != g1, "global random stream identical across workers"
+    assert s0 != s1, "noise-store sampler identical across workers"
+    # same worker is reproducible
+    g0b, s0b = draws(0)
+    assert g0 == g0b and s0 == s0b
+
+
+def test_wire_dtype_auto_float32_under_aug(tmp_path, corpus):
+    """Waveform augmentation overshoots int16 range (0 dB noise mixes,
+    reverb); the wire dtype auto-falls back to float32 so batches are
+    NOT hard-clipped (explicit batch_conf.wire_dtype still wins)."""
+    conf = {
+        "filter_conf": {"max_length": 2048, "min_length": 0},
+        "resample_conf": {"resample_rate": 16000},
+        "speed_perturb": True,
+        "shuffle": False,
+        "batch_conf": {"batch_size": 2, "bucket_samples": 8000},
+    }
+    ds = init_dataset(corpus, conf, split="train", rank=0, world_size=1)
+    batch = next(iter(ds))
+    assert batch["waves"].dtype == np.float32
+    clean = init_dataset(
+        corpus, dict(conf, speed_perturb=False), split="cv",
+        rank=0, world_size=1,
+    )
+    assert next(iter(clean))["waves"].dtype == np.int16

@@ -188,7 +188,7 @@ class TestTools:
         out = tmp_path / "data.list"
         n = make_list(str(scp), str(text), str(tmp_path / "wav.dur"), str(out))
         assert n == 2
-        rows = [json.loads(l) for l in out.read_text().splitlines()]
+        rows = [json.loads(ln) for ln in out.read_text().splitlines()]
         assert rows[0]["key"] == "a" and rows[0]["txt"] == "hello"
         assert abs(rows[0]["duration"] - 0.5) < 1e-6
 
@@ -252,7 +252,7 @@ def test_write_score_file_skips_fill_rows(tmp_path):
     out = tmp_path / "score.txt"
     n = write_score_file(forward, dataset(), ["<A>"], str(out))
     assert n == 2
-    keys = [l.split()[0] for l in out.read_text().splitlines()]
+    keys = [ln.split()[0] for ln in out.read_text().splitlines()]
     assert keys == ["utt0", "utt1"]
 
 

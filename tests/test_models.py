@@ -660,3 +660,39 @@ class TestExactBatchNorm:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3
             )
+
+    def test_bf16_input_promotes_to_f32_like_flax(self):
+        import jax
+        import jax.numpy as jnp
+        import flax.linen as nn
+
+        from wekws_tpu.models.layers import ExactBatchNorm
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((4, 10, 6)), jnp.bfloat16)
+        params = {"scale": jnp.ones(6), "bias": jnp.zeros(6)}
+        ebn = ExactBatchNorm()
+        stats0 = ebn.init(
+            jax.random.PRNGKey(0), x, use_running_average=False
+        )["batch_stats"]
+        ye, se = ebn.apply(
+            {"params": params, "batch_stats": stats0}, x,
+            use_running_average=False, mutable=["batch_stats"],
+        )
+        yb, _ = nn.BatchNorm(
+            use_running_average=False, momentum=0.9, epsilon=1e-5
+        ).apply({"params": params, "batch_stats": stats0}, x,
+                mutable=["batch_stats"])
+        # f32 output (the mixed-precision contract: BN promotes, convs
+        # re-cast down) and agreement with flax on bf16 inputs
+        assert ye.dtype == jnp.float32
+        assert yb.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(ye), np.asarray(yb), atol=2e-2
+        )
+        # dx cotangent keeps the input dtype
+        g = jax.grad(lambda xx: ebn.apply(
+            {"params": params, "batch_stats": stats0}, xx,
+            use_running_average=False, mutable=["batch_stats"],
+        )[0].sum())(x)
+        assert g.dtype == jnp.bfloat16

@@ -198,7 +198,7 @@ def test_two_process_bucketed_lockstep(tmp_path):
     shape_lines = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
-        line = [l for l in out.splitlines() if "MH_BUCKET_SHAPES" in l]
+        line = [ln for ln in out.splitlines() if "MH_BUCKET_SHAPES" in ln]
         assert line, out[-2000:]
         shape_lines.append(line[0])
     assert shape_lines[0] == shape_lines[1]
@@ -331,7 +331,7 @@ def test_two_process_bucketed_ctc_lockstep(tmp_path):
     shape_lines = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
-        line = [l for l in out.splitlines() if "MH_CTC_SHAPES" in l]
+        line = [ln for ln in out.splitlines() if "MH_CTC_SHAPES" in ln]
         assert line, out[-2000:]
         shape_lines.append(line[0])
     assert shape_lines[0] == shape_lines[1]
@@ -443,7 +443,7 @@ def test_two_process_lockstep_fast(tmp_path):
     shape_lines = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
-        line = [l for l in out.splitlines() if "MH_FAST_SHAPES" in l]
+        line = [ln for ln in out.splitlines() if "MH_FAST_SHAPES" in ln]
         assert line, out[-2000:]
         shape_lines.append(line[0])
     assert shape_lines[0] == shape_lines[1]

@@ -205,6 +205,12 @@ def run_epoch(list_path, corpus_dir, num_workers, aug, batch_size):
             db = executor._prepare(batch)
             for _ in range(2):
                 state, metrics = trainer.train_step(state, db, key, 1e-3)
+    if state is None:
+        raise SystemExit(
+            "configuration produced no batches (per-worker shards "
+            "smaller than one batch all get dropped by drop_last) — "
+            "lower --batch_size or --workers, or raise --utts"
+        )
     jax.block_until_ready(metrics["loss"])
 
     loader.set_epoch(1)

@@ -88,7 +88,7 @@ def main():
             [sys.executable, "-c", _CHILD, str(n), str(args.global_batch)],
             capture_output=True, text=True, cwd=os.getcwd(),
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
         if not line:
             print(f"mesh={n} FAILED:\n{out.stderr[-2000:]}",
                   file=sys.stderr)

@@ -37,10 +37,23 @@ def _ghost_bn8(c):
     return c
 
 
+def _bf16(c):
+    c["model"]["dtype"] = "bfloat16"
+    return c
+
+
+def _bf16_bn(c):
+    c["model"]["dtype"] = "bfloat16"
+    c["model"]["backbone"]["bn_dtype"] = "bfloat16"
+    return c
+
+
 VARIANTS.update(
     dither_wave=_dither_wave,
     frontend_default=_frontend_default,
     ghost_bn8=_ghost_bn8,
+    bf16=_bf16,
+    bf16_bn=_bf16_bn,
 )
 
 

@@ -267,7 +267,19 @@ class Dataset:
 
     def set_epoch(self, epoch: int) -> None:
         self.data_list.set_epoch(epoch)
-        random.seed(self.seed + epoch)
+        # fold the worker id in: spawn workers inherit a pickled copy
+        # of this dataset, so without it every worker would draw the
+        # SAME augmentation sequence (speeds, aug coin flips, SNRs,
+        # shuffles) on its disjoint shard — 1/num_workers the intended
+        # augmentation diversity
+        worker = getattr(self.data_list, "worker_id", 0)
+        random.seed((self.seed or 0) + epoch * 1009 + worker * 7919)
+        for store in (self._noise_store, self._reverb_store):
+            if store is not None and hasattr(store, "_rng"):
+                store._rng = random.Random(
+                    (self.seed or 0) * 1000003 + epoch * 1009
+                    + worker * 7919
+                )
 
     def __iter__(self):
         conf = self.conf
@@ -313,7 +325,7 @@ class Dataset:
                 fill="duplicate" if self.split == "train" else "invalid",
                 buffer_cap=bc.get("bucket_buffer_cap", 0),
                 max_label_len=fixed_label_len,
-                wire_dtype=bc.get("wire_dtype", "int16"),
+                wire_dtype=bc.get("wire_dtype", self._default_wire()),
             )
         else:
             it = processor.batch(
@@ -322,9 +334,21 @@ class Dataset:
                 bucket_samples=bc.get("bucket_samples", 16000),
                 drop_last=bc.get("drop_last", self.split == "train"),
                 fixed_samples=bc.get("fixed_samples", 0),
-                wire_dtype=bc.get("wire_dtype", "int16"),
+                wire_dtype=bc.get("wire_dtype", self._default_wire()),
             )
         return it
+
+    def _default_wire(self) -> str:
+        """int16 wire is bit-exact for unaugmented PCM; waveform
+        augmentation (noise mix, reverb) can overshoot int16 range and
+        would be hard-clipped, so aug pipelines default to float32
+        (batch_conf.wire_dtype overrides either way)."""
+        aug = self.split == "train" and (
+            self.conf.get("speed_perturb", False)
+            or self._noise_store is not None
+            or self._reverb_store is not None
+        )
+        return "float32" if aug else "int16"
 
 
 def scrub_conf(conf: dict) -> dict:

@@ -241,23 +241,23 @@ def _emit_batch(
     # fixed_label_len > 0 forces the token-sequence layout even for an
     # all-fill batch (all processes must agree on the target rank)
     if (labels and isinstance(labels[0], list)) or fixed_label_len:
-        labels = [l if isinstance(l, list) else [l] for l in labels]
+        labels = [ln if isinstance(ln, list) else [ln] for ln in labels]
         umax = fixed_label_len or max(
-            max((len(l) for l in labels), default=1), 1
+            max((len(ln) for ln in labels), default=1), 1
         )
         target = np.full((b, umax), -1, np.int32)
         target_lengths = np.ones((b,), np.int32)
-        for i, l in enumerate(labels):
+        for i, lab in enumerate(labels):
             # self-enforce the invariant instead of silently truncating
             # (upstream filter_length caps token counts; a config that
             # breaks that must fail loudly, not corrupt CTC targets)
-            assert len(l) <= umax, (
-                f"label of {samples[i]['key']} has {len(l)} tokens > "
+            assert len(lab) <= umax, (
+                f"label of {samples[i]['key']} has {len(lab)} tokens > "
                 f"fixed_label_len {umax}; raise dataset_conf."
                 f"batch_conf.fixed_label_len or tighten filter_conf"
             )
-            target[i, : len(l)] = l
-            target_lengths[i] = max(len(l), 1)
+            target[i, : len(lab)] = lab
+            target_lengths[i] = max(len(lab), 1)
     else:
         target = np.zeros((b,), np.int32)
         target[: len(labels)] = np.asarray(labels, np.int32)

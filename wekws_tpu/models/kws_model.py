@@ -164,6 +164,8 @@ def init_model(configs: dict) -> KWSModel:
             ds=bconf.get("ds", False),
             dtype=compute_dtype,
             ghost_bn=int(bconf.get("ghost_bn", 0)),
+            bn_dtype=(jnp.dtype(bconf["bn_dtype"])
+                      if bconf.get("bn_dtype") else None),
         )
     elif backbone_type == "mdtc":
         hidden_dim = bconf["hidden_dim"]
@@ -177,6 +179,8 @@ def init_model(configs: dict) -> KWSModel:
             dtype=compute_dtype,
             remat=bool(bconf.get("remat", False)),
             ghost_bn=int(bconf.get("ghost_bn", 0)),
+            bn_dtype=(jnp.dtype(bconf["bn_dtype"])
+                      if bconf.get("bn_dtype") else None),
         )
     elif backbone_type == "fsmn":
         backbone = FSMN(

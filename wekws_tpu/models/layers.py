@@ -101,66 +101,6 @@ class DepthwiseConv1d(nn.Module):
         return y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def depthwise_conv1d_cvjp(
-    x: jnp.ndarray, kernel: jnp.ndarray, dilation: int, left_pad: int = 0
-) -> jnp.ndarray:
-    """Grouped-conv forward with a hand-written dense backward.
-
-    XLA's autodiff backward for a feature_group_count=C convolution is
-    a grouped conv-transpose whose TPU tiling collapses above B~768
-    (PERF.md 'B=1024 regression root cause': grad 10.6 ms @ B=512 ->
-    32.3 ms @ B=1024, 1.52x over linear).  Both gradients are dense
-    shifted reductions, so we write them as such:
-
-      dx[s]   = sum_j w[j] * g[s - j*d]   (shifted-FMA over padded g —
-                pure VPU work, fuses with the surrounding BN backward)
-      dw[j,c] = sum_{b,t} g[b,t,c] * xp[b, t + j*d, c]   (k slice-mul
-                reductions over the SAME two buffers — one fused pass)
-
-    No conv-transpose, no scatter; cost scales linearly in B.
-    """
-    return depthwise_conv1d_grouped(x, kernel, dilation, left_pad)
-
-
-def _dw_cvjp_fwd(x, kernel, dilation, left_pad):
-    return depthwise_conv1d_grouped(x, kernel, dilation, left_pad), (x, kernel)
-
-
-def _dw_cvjp_bwd(dilation, left_pad, res, g):
-    x, kernel = res
-    k = kernel.shape[0]
-    w = kernel[:, 0, :]  # (k, C)
-    span = (k - 1) * dilation
-    t_inp = x.shape[1] + left_pad  # padded input length
-
-    # dx: full correlation of g with the flipped kernel.
-    gp = jnp.pad(g, ((0, 0), (span, span), (0, 0)))
-    dxp = None
-    for j in range(k):
-        tap = (
-            jax.lax.dynamic_slice_in_dim(
-                gp, span - j * dilation, t_inp, axis=1
-            )
-            * w[j]
-        )
-        dxp = tap if dxp is None else dxp + tap
-    dx = dxp[:, left_pad:, :] if left_pad else dxp
-
-    # dw: k shifted reductions over (B, T_out) in f32 (bf16 g/x would
-    # lose mantissa over ~1e5-element sums).
-    xp = jnp.pad(x, ((0, 0), (left_pad, 0), (0, 0))) if left_pad else x
-    t_out = g.shape[1]
-    g32 = g.astype(jnp.float32)
-    taps = []
-    for j in range(k):
-        xj = jax.lax.dynamic_slice_in_dim(xp, j * dilation, t_out, axis=1)
-        taps.append(jnp.sum(g32 * xj.astype(jnp.float32), axis=(0, 1)))
-    dw = jnp.stack(taps)[:, None, :].astype(kernel.dtype)  # (k, 1, C)
-    return dx.astype(x.dtype), dw
-
-
-depthwise_conv1d_cvjp.defvjp(_dw_cvjp_fwd, _dw_cvjp_bwd)
 
 
 def _dx_flipped_conv(g, kernel, dilation, left_pad, t_in):
@@ -252,6 +192,10 @@ depthwise_conv1d_v_flip_slices = _make_variant(
     "v_flip_slices", "flip_conv", "slices")
 depthwise_conv1d_v_shift_subvjp = _make_variant(
     "v_shift_subvjp", "shifted", "sub_vjp")
+# fully dense backward (dx shifted-FMA, dw slice reductions) — measured
+# SLOWER than the flip_subvjp default at every batch size (PERF.md r3)
+# but kept addressable for the A/B tool
+depthwise_conv1d_cvjp = _make_variant("cvjp", "shifted", "slices")
 
 
 class GhostBatchNorm(nn.Module):
@@ -330,33 +274,31 @@ def _bn_train_apply(x, scale, bias, eps, mean, var):
     just written as explicit reductions.
     """
     inv = jax.lax.rsqrt(var + eps)
-    xhat = (x - mean) * inv
-    return xhat * scale.astype(x.dtype) + bias.astype(x.dtype)
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    return xhat * scale + bias
 
 
 def _bn_train_fwd(x, scale, bias, eps, mean, var):
     inv = jax.lax.rsqrt(var + eps)
-    xhat = (x - mean) * inv
-    y = xhat * scale.astype(x.dtype) + bias.astype(x.dtype)
-    return y, (xhat, inv, scale)
+    xhat = (x.astype(jnp.float32) - mean) * inv
+    y = xhat * scale + bias
+    # zero-size dtype token: residual leaves must be JAX types, and the
+    # backward needs x's dtype for the dx cotangent
+    return y, (xhat, inv, scale, jnp.zeros((0,), x.dtype))
 
 
 def _bn_train_bwd(eps, res, dy):
-    xhat, inv, scale = res
+    xhat, inv, scale, x_token = res
+    x_dtype = x_token.dtype
     axes = tuple(range(dy.ndim - 1))  # all but channel
     n = 1
     for a in axes:
         n *= dy.shape[a]
     dy32 = dy.astype(jnp.float32)
-    xhat32 = xhat.astype(jnp.float32)
     dbeta = jnp.sum(dy32, axis=axes)
-    dgamma = jnp.sum(dy32 * xhat32, axis=axes)
-    g = (scale.astype(jnp.float32) * inv.astype(jnp.float32)) / n
-    dx = g.astype(dy.dtype) * (
-        n * dy
-        - dbeta.astype(dy.dtype)
-        - xhat * dgamma.astype(dy.dtype)
-    )
+    dgamma = jnp.sum(dy32 * xhat, axis=axes)
+    g = (scale * inv) / n
+    dx = (g * (n * dy32 - dbeta - xhat * dgamma)).astype(x_dtype)
     # cotangents for (x, scale, bias, mean, var): mean/var were
     # computed FROM x, and their contribution is already folded into
     # the dx formula above, so they get symbolic zeros
@@ -371,11 +313,18 @@ class ExactBatchNorm(nn.Module):
     """nn.BatchNorm drop-in (same variable names/semantics) with the
     hand-written training backward above.  Gradients are identical to
     autodiff (pinned in tests); only the HLO the backward lowers to
-    changes.  Select with models.layers.batch_norm(..., exact=True)
-    or the module-level BATCH_NORM_EXACT flag."""
+    changes.  Selected via the module-level BATCH_NORM_EXACT flag.
+
+    ``dtype``: output/activation dtype (None = promote to f32 like
+    flax).  Statistics are ALWAYS computed and accumulated in f32; a
+    bf16 ``dtype`` only narrows the activations BN hands to the next
+    conv (which casts to bf16 anyway) and the residual adds — a
+    measured ~28% backward win at B=1024 (PERF.md) that must be
+    convergence-gated per model via ``backbone.bn_dtype``."""
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool):
@@ -389,19 +338,19 @@ class ExactBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         if use_running_average:
+            # promote like flax nn.BatchNorm: bf16 x against f32
+            # params/stats -> f32 output (batch statistics and the
+            # activations BN feeds stay f32; convs re-cast down)
             inv = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
-            return (
-                (x - ra_mean.value.astype(x.dtype)) * inv.astype(x.dtype)
-                + bias.astype(x.dtype)
-            )
+            y = (x.astype(jnp.float32) - ra_mean.value) * inv + bias
+            return y.astype(self.dtype) if self.dtype else y
         axes = tuple(range(x.ndim - 1))
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=axes)
         var = jnp.mean(jnp.square(x32), axis=axes) - jnp.square(mean)
-        y = _bn_train_apply(
-            x, scale, bias, self.epsilon,
-            mean.astype(x.dtype), var.astype(x.dtype),
-        )
+        y = _bn_train_apply(x, scale, bias, self.epsilon, mean, var)
+        if self.dtype:
+            y = y.astype(self.dtype)
         if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
@@ -418,15 +367,18 @@ class ExactBatchNorm(nn.Module):
 BATCH_NORM_EXACT = True
 
 
-def batch_norm(train: bool, ghost_bn: int = 0, name: str = "bn"):
+def batch_norm(train: bool, ghost_bn: int = 0, name: str = "bn",
+               dtype: Optional[jnp.dtype] = None):
     """BN factory used by the backbones: standard nn.BatchNorm,
     ExactBatchNorm (hand-written backward) when BATCH_NORM_EXACT is
-    set, or GhostBatchNorm when ``ghost_bn`` > 1 (config knob)."""
+    set, or GhostBatchNorm when ``ghost_bn`` > 1 (config knob).
+    ``dtype``: BN output dtype override (backbone.bn_dtype; None =
+    promote to f32 like flax)."""
     if ghost_bn and ghost_bn > 1:
         gbn = GhostBatchNorm(num_groups=ghost_bn, name=name)
         return lambda x: gbn(x, use_running_average=not train)
     if BATCH_NORM_EXACT:
-        ebn = ExactBatchNorm(name=name)
+        ebn = ExactBatchNorm(name=name, dtype=dtype)
         return lambda x: ebn(x, use_running_average=not train)
     bn = nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,

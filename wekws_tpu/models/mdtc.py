@@ -43,6 +43,7 @@ class DSDilatedConv1d(nn.Module):
     left_pad: int = 0
     dtype: Optional[jnp.dtype] = None
     ghost_bn: int = 0
+    bn_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -54,7 +55,7 @@ class DSDilatedConv1d(nn.Module):
             dtype=self.dtype,
             name="dw_conv",
         )(x)
-        x = batch_norm(train, self.ghost_bn, name="bn")(x)
+        x = batch_norm(train, self.ghost_bn, name="bn", dtype=self.bn_dtype)(x)
         x = nn.Conv(self.out_channels, (1,), padding="VALID",
                     dtype=self.dtype, name="pw_conv")(x)
         return x
@@ -67,6 +68,7 @@ class TCNBlock(nn.Module):
     dilation: int
     dtype: Optional[jnp.dtype] = None
     ghost_bn: int = 0
+    bn_dtype: Optional[jnp.dtype] = None
 
     @property
     def padding(self) -> int:
@@ -93,13 +95,14 @@ class TCNBlock(nn.Module):
             left_pad=self.padding if cache is None else 0,
             dtype=self.dtype,
             ghost_bn=self.ghost_bn,
+            bn_dtype=self.bn_dtype,
             name="conv1",
         )(y, train)
-        y = batch_norm(train, self.ghost_bn, name="bn1")(y)
+        y = batch_norm(train, self.ghost_bn, name="bn1", dtype=self.bn_dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.res_channels, (1,), padding="VALID",
                     dtype=self.dtype, name="conv2")(y)
-        y = batch_norm(train, self.ghost_bn, name="bn2")(y)
+        y = batch_norm(train, self.ghost_bn, name="bn2", dtype=self.bn_dtype)(y)
         if self.in_channels == self.res_channels:
             y = y + x.astype(y.dtype)
         return nn.relu(y), new_cache
@@ -123,6 +126,7 @@ class MDTC(nn.Module):
     # Ghost BatchNorm groups (0 = exact global-batch BN, the reference
     # semantics).  See layers.GhostBatchNorm; gate on a convergence run.
     ghost_bn: int = 0
+    bn_dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         assert self.kernel_size % 2 == 1
@@ -175,6 +179,7 @@ class MDTC(nn.Module):
         y, c = block_cls(
             self.in_channels, self.res_channels, self.kernel_size, 1,
             dtype=self.dtype, ghost_bn=self.ghost_bn,
+            bn_dtype=self.bn_dtype,
             name="preprocessor",
         )(x, cache[0], train)
         y = nn.relu(y)
@@ -190,6 +195,7 @@ class MDTC(nn.Module):
                     2 ** i,
                     dtype=self.dtype,
                     ghost_bn=self.ghost_bn,
+                    bn_dtype=self.bn_dtype,
                     name=f"stack_{s}_block_{i}",
                 )(y, cache[idx], train)
                 new_caches.append(c)

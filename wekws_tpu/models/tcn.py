@@ -38,6 +38,7 @@ class CnnBlock(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None  # conv compute dtype (see mdtc.py)
     ghost_bn: int = 0
+    bn_dtype: Optional[jnp.dtype] = None
 
     @property
     def padding(self) -> int:
@@ -62,7 +63,7 @@ class CnnBlock(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(y)
-        y = batch_norm(train, self.ghost_bn, name="bn")(y)
+        y = batch_norm(train, self.ghost_bn, name="bn", dtype=self.bn_dtype)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return y + x.astype(y.dtype), new_cache
@@ -77,6 +78,7 @@ class DsCnnBlock(nn.Module):
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
     ghost_bn: int = 0
+    bn_dtype: Optional[jnp.dtype] = None
 
     @property
     def padding(self) -> int:
@@ -99,11 +101,11 @@ class DsCnnBlock(nn.Module):
             dtype=self.dtype,
             name="dw_conv",
         )(y)
-        y = batch_norm(train, self.ghost_bn, name="dw_bn")(y)
+        y = batch_norm(train, self.ghost_bn, name="dw_bn", dtype=self.bn_dtype)(y)
         y = nn.relu(y)
         y = nn.Conv(self.channel, (1,), padding="VALID",
                     dtype=self.dtype, name="pw_conv")(y)
-        y = batch_norm(train, self.ghost_bn, name="pw_bn")(y)
+        y = batch_norm(train, self.ghost_bn, name="pw_bn", dtype=self.bn_dtype)(y)
         y = nn.relu(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return y + x.astype(y.dtype), new_cache
@@ -117,6 +119,7 @@ class TCN(nn.Module):
     ds: bool = False
     dtype: Optional[jnp.dtype] = None
     ghost_bn: int = 0
+    bn_dtype: Optional[jnp.dtype] = None
 
     @property
     def paddings(self) -> Sequence[int]:
@@ -152,6 +155,7 @@ class TCN(nn.Module):
                 self.dropout,
                 dtype=self.dtype,
                 ghost_bn=self.ghost_bn,
+                bn_dtype=self.bn_dtype,
                 name=f"block_{i}",
             )
             x, c = block(x, cache[i], train)
