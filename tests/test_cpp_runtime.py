@@ -219,7 +219,7 @@ def test_stream_kws_main_stdin_pcm(capi, tmp_path, rng):
     )
     lines = [
         ln for ln in result.stdout.decode().splitlines()
-        if l.startswith("frame")
+        if ln.startswith("frame")
     ]
     assert len(lines) == 98
     assert all(len(ln.split()) == 2 + 3 for ln in lines)
