@@ -25,11 +25,13 @@ import jax.numpy as jnp
 from wekws_tpu.models.layers import DepthwiseConv1d, batch_norm
 
 # Mixed precision: convolution compute in ``dtype`` (bfloat16 on TPU)
-# with float32 parameters; BatchNorm keeps its flax default dtype=None,
-# which promotes the bf16 input against the f32 scale/bias back to f32
-# — batch statistics therefore accumulate in f32 (bf16's 8-bit
-# mantissa cannot sum ~1e5 elements), and each conv re-casts its
-# operands down.  The per-block pattern is
+# with float32 parameters.  BatchNorm (layers.ExactBatchNorm by
+# default) always computes and accumulates batch statistics in f32
+# (bf16's 8-bit mantissa cannot sum ~1e5 elements) and, per flax's
+# promotion rules, emits f32 activations; the gated ``bn_dtype``
+# config additionally narrows the emitted activations to bf16
+# (statistics still f32 — convergence-gated, used by bench.py).  The
+# per-block pattern is
 # conv(bf16) -> BN(f32 stats) -> relu -> conv(bf16) -> ...
 
 
