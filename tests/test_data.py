@@ -477,3 +477,40 @@ def test_wire_dtype_auto_float32_under_aug(tmp_path, corpus):
         rank=0, world_size=1,
     )
     assert next(iter(clean))["waves"].dtype == np.int16
+
+
+def test_rank_and_store_decorrelation(tmp_path, corpus):
+    """Aug seeding must differ across RANKS too (multi-host), and the
+    noise vs reverb store samplers must not mirror each other."""
+    import random as pyrandom
+
+    for kind in ("noise", "rir"):
+        with BlobWriter(str(tmp_path / kind)) as w:
+            for i in range(8):
+                wav = tmp_path / f"{kind}_{i}.wav"
+                write_wav(str(wav), np.zeros(400, np.float32), 16000)
+                w.put(f"{kind}_{i}", wav.read_bytes())
+    conf = {
+        "filter_conf": {"max_length": 2048, "min_length": 0},
+        "resample_conf": {"resample_rate": 16000},
+        "noise_source": str(tmp_path / "noise"),
+        "noise_prob": 0.5,
+        "reverb_source": str(tmp_path / "rir"),
+        "reverb_prob": 0.5,
+        "shuffle": True,
+        "batch_conf": {"batch_size": 2, "bucket_samples": 8000},
+    }
+
+    def draws(rank):
+        ds = init_dataset(corpus, conf, split="train",
+                          rank=rank, world_size=2)
+        ds.set_epoch(1)
+        g = [pyrandom.random() for _ in range(6)]
+        noise_idx = [ds._noise_store.random_one()[0][-1] for _ in range(8)]
+        rir_idx = [ds._reverb_store.random_one()[0][-1] for _ in range(8)]
+        return g, noise_idx, rir_idx
+
+    g0, n0, r0 = draws(0)
+    g1, n1, r1 = draws(1)
+    assert g0 != g1, "global random stream identical across ranks"
+    assert n0 != r0, "noise and reverb samplers mirror each other"

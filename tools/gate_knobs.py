@@ -3,7 +3,7 @@ knob flipped and compare the cv_loss trajectory against baseline
 epoch-for-epoch (the harness that promoted bf16 conv in round 2).
 
 Usage: python tools/gate_knobs.py [variant ...]
-Variants: baseline dither_wave frontend_default ghost_bn8
+Variants: baseline dither_wave frontend_default ghost_bn8 bf16 bf16_bn
 Runs from examples/synthetic's corpus (generates it if missing).
 """
 

@@ -273,13 +273,16 @@ class Dataset:
         # shuffles) on its disjoint shard — 1/num_workers the intended
         # augmentation diversity
         worker = getattr(self.data_list, "worker_id", 0)
-        random.seed((self.seed or 0) + epoch * 1009 + worker * 7919)
-        for store in (self._noise_store, self._reverb_store):
+        rank = getattr(self.data_list, "rank", 0)
+        base = ((self.seed or 0) + epoch * 1009 + worker * 7919
+                + rank * 104729)
+        random.seed(base)
+        # distinct per-store constants: identical seeds would make the
+        # i-th RIR pick a deterministic function of the i-th noise pick
+        for offset, store in ((1, self._noise_store),
+                              (2, self._reverb_store)):
             if store is not None and hasattr(store, "_rng"):
-                store._rng = random.Random(
-                    (self.seed or 0) * 1000003 + epoch * 1009
-                    + worker * 7919
-                )
+                store._rng = random.Random(base * 1000003 + offset)
 
     def __iter__(self):
         conf = self.conf

@@ -164,7 +164,9 @@ class DataLoader:
         from wekws_tpu.data.shm import unpack
 
         name, desc = item
-        batch = unpack(name, desc, self._attached)
+        # cap = live working set: every worker's pool can be in flight
+        cap = max(64, self.num_workers * (max(self.prefetch, 2) + 2) + 8)
+        batch = unpack(name, desc, self._attached, cap=cap)
         self._free_queues[desc["worker"]].put(name)
         return batch
 

@@ -97,18 +97,17 @@ def pack(batch: Dict, pool: SegmentPool) -> Tuple[str, Dict]:
     return seg.name, {"spec": spec, "other": other}
 
 
-_ATTACH_CAP = 64  # workers recycle segments; cap dead attachments
-
-
-def unpack(name: str, desc: Dict, attached: Dict) -> Dict:
+def unpack(name: str, desc: Dict, attached: Dict,
+           cap: int = 64) -> Dict:
     """Parent side: copy arrays out of the (cached-attach) segment.
 
-    Attachments are LRU-capped: workers unlink+replace segments when a
-    bigger batch arrives, and a stale parent mapping would otherwise
-    pin the dead segment's pages until close() (unbounded RSS across
-    bucket-size churn)."""
+    Attachments are LRU-capped at ``cap`` (the loader passes the live
+    working-set size, num_workers x pool size): workers unlink+replace
+    segments when a bigger batch arrives, and a stale parent mapping
+    would otherwise pin the dead segment's pages until close()
+    (unbounded RSS across bucket-size churn)."""
     if name not in attached:
-        if len(attached) >= _ATTACH_CAP:
+        if len(attached) >= cap:
             old_name = next(iter(attached))
             attached.pop(old_name).close()
         attached[name] = shared_memory.SharedMemory(name=name)

@@ -220,9 +220,12 @@ class GhostBatchNorm(nn.Module):
     num_groups: int
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: Optional[jnp.dtype] = None  # output dtype (None = x.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, use_running_average: bool):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (c,))
         bias = self.param("bias", nn.initializers.zeros_init(), (c,))
@@ -375,14 +378,14 @@ def batch_norm(train: bool, ghost_bn: int = 0, name: str = "bn",
     ``dtype``: BN output dtype override (backbone.bn_dtype; None =
     promote to f32 like flax)."""
     if ghost_bn and ghost_bn > 1:
-        gbn = GhostBatchNorm(num_groups=ghost_bn, name=name)
+        gbn = GhostBatchNorm(num_groups=ghost_bn, name=name, dtype=dtype)
         return lambda x: gbn(x, use_running_average=not train)
     if BATCH_NORM_EXACT:
         ebn = ExactBatchNorm(name=name, dtype=dtype)
         return lambda x: ebn(x, use_running_average=not train)
     bn = nn.BatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5,
-        name=name,
+        dtype=dtype, name=name,
     )
     return bn
 
