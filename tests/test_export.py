@@ -227,3 +227,31 @@ class TestStaticQuantization:
                 frr_at_fa_per_hour(det_a, fa_target)
                 - frr_at_fa_per_hour(det_b, fa_target)
             ) <= 0.05
+
+
+def test_quantized_mdtc_flagship_streams(tmp_path):
+    """int8 quantization of the MDTC flagship family: the quantized
+    graph streams (cache chunks == full) and tracks f32 closely."""
+    from wekws_tpu.export.quantize import quantize_artifact
+
+    model, variables, x, out_dir = export_setup("mdtc_ctc", tmp_path,
+                                                seed=5)
+    qdir = str(tmp_path / "quant")
+    artifact = quantize_artifact(out_dir, qdir)
+    assert any(e["op"] == "dw_conv" for e in artifact["ops"])
+
+    f32 = GraphRuntime(out_dir)
+    q = GraphRuntime(qdir)
+    want, _ = f32.forward(x[0])
+    got, _ = q.forward(x[0])
+    spread = float(want.max() - want.min())
+    assert np.abs(got - want).max() < 0.06 * max(spread, 1.0)
+
+    state = q.init_state()
+    outs = []
+    for s in range(0, x.shape[1], 7):
+        y, state = q.forward(x[0, s : s + 7], state)
+        outs.append(y)
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=0), got, atol=1e-5, rtol=1e-4
+    )
