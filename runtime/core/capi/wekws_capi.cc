@@ -56,15 +56,19 @@ void wekws_reset(wekws_handle h) {
 
 int wekws_read_wav(const char* path, float* out, int max_n,
                    int* sample_rate) {
-  wekws::WavReader reader(path, wekws::WavReader::NoAbort{});
-  if (!reader.ok()) return -1;
-  const auto& data = reader.data();
-  if (sample_rate != nullptr) *sample_rate = reader.sample_rate();
-  if (out != nullptr) {
-    const int n = std::min<int>(max_n, static_cast<int>(data.size()));
-    std::copy(data.begin(), data.begin() + n, out);
+  try {
+    wekws::WavReader reader(path, wekws::WavReader::NoAbort{});
+    if (!reader.ok()) return -1;
+    const auto& data = reader.data();
+    if (sample_rate != nullptr) *sample_rate = reader.sample_rate();
+    if (out != nullptr) {
+      const int n = std::min<int>(max_n, static_cast<int>(data.size()));
+      std::copy(data.begin(), data.begin() + n, out);
+    }
+    return static_cast<int>(data.size());
+  } catch (...) {
+    return -1;  // FFI boundary: never let exceptions terminate the host
   }
-  return static_cast<int>(data.size());
 }
 
 }  // extern "C"

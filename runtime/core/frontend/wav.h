@@ -37,6 +37,9 @@ class WavReader {
       LOG_ERROR << "cannot open " << path;
       return false;
     }
+    std::fseek(fp, 0, SEEK_END);
+    const long file_size = std::ftell(fp);
+    std::fseek(fp, 0, SEEK_SET);
     char riff[4], wave[4];
     uint32_t riff_size = 0;
     if (std::fread(riff, 1, 4, fp) != 4 ||
@@ -85,7 +88,19 @@ class WavReader {
         if (size > consumed) std::fseek(fp, size - consumed, SEEK_CUR);
         got_fmt = true;
       } else if (std::memcmp(id, "data", 4) == 0) {
-        WEKWS_CHECK(got_fmt) << "data chunk before fmt";
+        if (!got_fmt) {
+          LOG_ERROR << path << ": data chunk before fmt";
+          std::fclose(fp);
+          return false;
+        }
+        // a corrupt header can claim a multi-GB chunk: clamp to what
+        // the file actually holds (fuzz finding — the old raw(size)
+        // allocation aborted the process on bad_alloc)
+        const long pos = std::ftell(fp);
+        if (pos >= 0 && file_size >= pos &&
+            size > static_cast<uint32_t>(file_size - pos)) {
+          size = static_cast<uint32_t>(file_size - pos);
+        }
         // Fail loudly on layouts we cannot decode instead of silently
         // producing zeros (an unsupported bit depth used to fall
         // through every branch and push 0.0f — e.g. a 24-bit wav

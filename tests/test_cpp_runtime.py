@@ -432,3 +432,37 @@ def test_wav_reader_extensible_format(capi, tmp_path):
     )
     n, _ = read_wav_capi(capi, p_float)
     assert n is None
+
+
+def test_wav_reader_fuzz_no_crash(capi, tmp_path):
+    """Garbage, truncated, and mutated wav files must come back as
+    errors (-1) or valid decodes through the C API — never crash the
+    process (the fuzz runs in-process: a segfault/abort fails the
+    suite)."""
+    import struct
+
+    rng = np.random.default_rng(99)
+    p = str(tmp_path / "fuzz.wav")
+
+    # pure garbage
+    for n in (0, 1, 7, 44, 200):
+        with open(p, "wb") as f:
+            f.write(bytes(rng.integers(0, 256, n, dtype=np.uint8)))
+        read_wav_capi(capi, p)
+
+    # a valid wav, truncated at every interesting boundary
+    good = struct.pack("<8h", *range(8))
+    write_wav_raw(p, good, 16)
+    blob = open(p, "rb").read()
+    for cut in (4, 12, 20, 36, 44, len(blob) - 3):
+        with open(p, "wb") as f:
+            f.write(blob[:cut])
+        read_wav_capi(capi, p)
+
+    # random single-byte mutations of a valid file
+    for _ in range(40):
+        mutated = bytearray(blob)
+        mutated[int(rng.integers(0, len(blob)))] = int(rng.integers(0, 256))
+        with open(p, "wb") as f:
+            f.write(bytes(mutated))
+        read_wav_capi(capi, p)

@@ -500,3 +500,57 @@ def test_export_import_involution():
                                   sorted(flat2, key=str)):
         assert str(p1) == str(p2)
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def _load_reference_functions(path, names):
+    """Exec ONLY the named top-level functions from a reference module
+    whose imports we cannot satisfy (init_dataset.py imports the
+    external wenet package) — the extracted code is the reference's
+    own source, byte for byte."""
+    import ast
+
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    wanted = [n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in names]
+    assert len(wanted) == len(names), [n.name for n in wanted]
+    module = ast.Module(body=wanted, type_ignores=[])
+    namespace = {"torch": torch}
+    exec(compile(module, path, "exec"), namespace)
+    return [namespace[n] for n in names]
+
+
+def test_context_expansion_and_frame_skip_parity():
+    """Our on-device splice/skip (data/device_pipeline.py) vs the
+    reference's batch-map functions (init_dataset.py:24-68), executed
+    from the reference's own source."""
+    from wekws_tpu.data.device_pipeline import context_expansion, frame_skip
+
+    ref_ctx, ref_skip = _load_reference_functions(
+        os.path.join(REFERENCE, "wekws/dataset/init_dataset.py"),
+        ["context_expansion", "frame_skip"],
+    )
+    rng = np.random.default_rng(41)
+    feats = rng.standard_normal((3, 17, 5)).astype(np.float32)
+    lengths = np.array([17, 12, 9], np.int64)
+    for left, right in ((1, 1), (2, 2), (3, 1)):
+        sample = {"feats": torch.from_numpy(feats.copy()),
+                  "feats_lengths": torch.from_numpy(lengths.copy())}
+        want = ref_ctx(sample, left=left, right=right)
+        got = np.asarray(context_expansion(
+            jnp.asarray(feats), left=left, right=right
+        ))
+        np.testing.assert_allclose(
+            got, want["feats"].numpy(), atol=1e-6,
+            err_msg=f"left={left} right={right}",
+        )
+        for rate in (2, 3):
+            skipped = ref_skip(
+                {"feats": want["feats"].clone(),
+                 "feats_lengths": want["feats_lengths"].clone()},
+                skip_rate=rate,
+            )
+            got_skip = np.asarray(frame_skip(jnp.asarray(got), rate))
+            np.testing.assert_allclose(
+                got_skip, skipped["feats"].numpy(), atol=1e-6
+            )
