@@ -95,6 +95,133 @@ def bench_ctc(n_devices, mesh):
     }))
 
 
+def bench_epoch(n_devices, mesh):
+    """Full-epoch training rate INCLUDING data delivery
+    (BENCH_MODE=epoch): host-built int16 corpus -> one-time staging
+    H2D -> device-resident epochs (per-epoch shuffle + gather + fbank +
+    train on device, zero per-step H2D).  The staging cost is charged
+    against the timed epochs (conservative: real runs amortize it over
+    all of training).  Prints the same JSON line with a components
+    breakdown."""
+    import jax
+
+    from __graft_entry__ import DATASET_CONF, FLAGSHIP_MODEL_CONF
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+    from wekws_tpu.data.resident import stage_arrays
+    from wekws_tpu.models import init_model
+    from wekws_tpu.train import Executor, Trainer
+
+    model_conf = dict(FLAGSHIP_MODEL_CONF)
+    model_conf["dtype"] = os.environ.get("BENCH_DTYPE", "bfloat16")
+    if model_conf["dtype"] == "bfloat16":
+        model_conf["backbone"] = {
+            **model_conf["backbone"], "bn_dtype": "bfloat16",
+        }
+    model = init_model(model_conf)
+    pipeline = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=True)
+    cvp = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=False)
+    trainer = Trainer(model, pipeline, cvp, "max_pooling",
+                      learning_rate=1e-3, grad_clip=5.0, min_duration=5)
+
+    n_utts = int(os.environ.get("BENCH_EPOCH_UTTS", 8192)) * n_devices
+    seconds = float(os.environ.get("BENCH_UTT_SECONDS", 2.0))
+    epochs = int(os.environ.get("BENCH_EPOCH_EPOCHS", 25))
+    batch = int(os.environ.get("BENCH_BATCH_PER_CHIP", 512)) * n_devices
+    s = int(16000 * seconds)
+    rng_np = np.random.default_rng(0)
+    arrays = {
+        "waves": rng_np.integers(-1000, 1000, (n_utts, s)).astype(np.int16),
+        "wave_lengths": np.full((n_utts,), s, np.int32),
+        "target": (np.arange(n_utts) % 2 - 1).astype(np.int32),
+        "target_lengths": np.ones((n_utts,), np.int32),
+    }
+
+    # one-time staging H2D, timed (runs at full rate: device still idle)
+    t0 = time.perf_counter()
+    corpus = stage_arrays(arrays, mesh=mesh)
+    stage_s = time.perf_counter() - t0
+
+    example = {k: v[:batch] for k, v in corpus.arrays.items()}
+    state = trainer.init_state(jax.random.PRNGKey(0), example, mesh)
+    executor = Executor(trainer, mesh, log_interval=10**9)
+    rng = jax.random.key(1, impl="rbg")
+
+    # warmup epoch: compiles the resident train step (excluded, like
+    # the resident-batch bench's warmup steps)
+    state, _ = executor.train_resident(state, corpus, rng, 1e-3, 0, batch)
+
+    audio = 0.0
+    t0 = time.perf_counter()
+    for epoch in range(1, epochs + 1):
+        state, summary = executor.train_resident(
+            state, corpus, rng, 1e-3, epoch, batch, sync=False
+        )
+        audio += summary["batches"] * batch * seconds
+    jax.block_until_ready(state.params)
+    train_s = time.perf_counter() - t0
+
+    value = audio / (train_s + stage_s) / n_devices
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(__file__),
+                               "BASELINE.json")) as f:
+            baseline = json.load(f).get("published", {}).get(
+                "train_audio_s_per_s_chip")
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "epoch_train_audio_seconds_per_s_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / baseline, 3) if baseline else 1.0,
+        "stage_s": round(stage_s, 3),
+        "train_s": round(train_s, 3),
+        "epochs": epochs,
+        "corpus_audio_s": round(corpus.audio_seconds, 1),
+        "device_only_rate": round(audio / train_s / n_devices, 2),
+    }))
+
+
+def roofline(fn, args, step_seconds, n_devices):
+    """XLA cost-model roofline for a compiled step: analytical FLOPs /
+    bytes from compiled.cost_analysis(), achieved TFLOP/s and fraction
+    of chip peak (VERDICT r3 item 3: an absolute yardstick, not
+    vs_baseline).  Peaks: v5e bf16 197 TFLOP/s, 819 GB/s HBM
+    (public TPU v5e specs); other chips fall back to flops-only."""
+    import jax
+
+    peaks = {  # (bf16 TFLOP/s, HBM GB/s) per jax device_kind
+        "TPU v5 lite": (197.0, 819.0),
+        "TPU v5": (459.0, 1228.0),
+        "TPU v4": (275.0, 1228.0),
+    }
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        bytes_accessed = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        return {}
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in peaks.items() if kind.startswith(k)), None)
+    out = {
+        "step_gflops": round(flops / 1e9 / n_devices, 2),
+        # cost-model bytes: every buffer access, including VMEM-resident
+        # reuse inside fusions — an UPPER BOUND on true HBM traffic
+        # (the ratio to HBM peak can exceed 1; see PERF.md roofline)
+        "step_gbytes_bound": round(bytes_accessed / 1e9 / n_devices, 3),
+        "achieved_tflops": round(
+            flops / step_seconds / 1e12 / n_devices, 2),
+    }
+    if peak:
+        out["mfu"] = round(out["achieved_tflops"] / peak[0], 4)
+        out["bytes_bound_vs_hbm_peak"] = round(
+            bytes_accessed / step_seconds / 1e9 / n_devices / peak[1], 3)
+    return out
+
+
 def main():
     import jax
 
@@ -116,6 +243,8 @@ def main():
     criterion = os.environ.get("BENCH_CRITERION", "max_pooling")
     if criterion == "ctc":
         return bench_ctc(n_devices, mesh)
+    if os.environ.get("BENCH_MODE") == "epoch":
+        return bench_epoch(n_devices, mesh)
     model_conf = dict(FLAGSHIP_MODEL_CONF)
     # Mixed precision is the TPU training default: bf16 conv compute,
     # f32 params/BN-stats/loss (models/mdtc.py header).  Synthetic
@@ -193,12 +322,27 @@ def main():
     except Exception:
         pass
     vs = value / baseline if baseline else 1.0
-    print(json.dumps({
+    record = {
         "metric": "train_audio_seconds_per_s_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    # MFU/roofline yardstick (VERDICT r3 item 3): XLA cost-model FLOPs
+    # and bytes for the exact compiled step, vs chip peak
+    if not os.environ.get("BENCH_NO_ROOFLINE"):
+        record.update(roofline(
+            trainer._train_step_impl,
+            (state, device_batch, key, jnp_lr(1e-3)),
+            elapsed / iters, n_devices,
+        ))
+    print(json.dumps(record))
+
+
+def jnp_lr(v):
+    import jax.numpy as jnp
+
+    return jnp.asarray(v, jnp.float32)
 
 
 if __name__ == "__main__":

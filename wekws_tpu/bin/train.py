@@ -44,6 +44,13 @@ def get_args():
                         help="write a jax.profiler trace of early steps")
     parser.add_argument("--num_workers", type=int, default=0,
                         help="data-loading worker processes")
+    parser.add_argument("--device_resident", action="store_true",
+                        default=False,
+                        help="stage the train/cv waves in device HBM "
+                             "once and shuffle/batch/slice on device — "
+                             "zero per-step H2D (clean corpora only; "
+                             "waveform augmentation needs the "
+                             "streaming host pipeline)")
     parser.add_argument("--compilation_cache_dir", default=None,
                         help="persistent XLA compilation cache: "
                              "re-launched jobs on the same topology "
@@ -106,14 +113,32 @@ def main():
 
     from wekws_tpu.data.loader import DataLoader
 
-    train_dataset = DataLoader(
-        init_dataset(args.train_data, dataset_conf, tokenizer, split="train"),
-        num_workers=args.num_workers,
-    )
-    cv_dataset = DataLoader(
-        init_dataset(args.cv_data, dataset_conf, tokenizer, split="cv"),
-        num_workers=args.num_workers,
-    )
+    mesh = make_mesh()
+    train_corpus = cv_corpus = None
+    train_dataset = cv_dataset = None
+    batch_size = dataset_conf.get("batch_conf", {}).get("batch_size", 16)
+    if args.device_resident:
+        # stage BEFORE any model execution: bulk H2D runs at full rate
+        # on an idle device (PERF.md: tunnel H2D anomaly)
+        from wekws_tpu.data.resident import stage_data_list
+
+        train_corpus = stage_data_list(
+            args.train_data, dataset_conf, tokenizer, split="train",
+            mesh=mesh,
+        )
+        cv_corpus = stage_data_list(
+            args.cv_data, dataset_conf, tokenizer, split="cv", mesh=mesh,
+        )
+    else:
+        train_dataset = DataLoader(
+            init_dataset(args.train_data, dataset_conf, tokenizer,
+                         split="train"),
+            num_workers=args.num_workers,
+        )
+        cv_dataset = DataLoader(
+            init_dataset(args.cv_data, dataset_conf, tokenizer, split="cv"),
+            num_workers=args.num_workers,
+        )
 
     # resolve model config (reference train.py:139-153)
     model_conf = configs["model"]
@@ -153,7 +178,6 @@ def main():
         weight_decay=optim_conf.get("weight_decay", 0.0),
         min_duration=args.min_duration,
     )
-    mesh = make_mesh()
     executor = Executor(
         trainer, mesh,
         log_interval=train_conf.get("log_interval", 10),
@@ -162,7 +186,13 @@ def main():
         if jax.process_index() == 0 else None,
     )
 
-    first_batch = next(iter(cv_dataset))
+    if args.device_resident:
+        b0 = min(batch_size, cv_corpus.n)
+        first_batch = {
+            k: v[:b0] for k, v in cv_corpus.arrays.items()
+        }
+    else:
+        first_batch = next(iter(cv_dataset))
     state = trainer.init_state(jax.random.PRNGKey(args.seed), first_batch)
     start_epoch = 0
     scheduler = ReduceLROnPlateau(optim_conf.get("lr", 1e-3))
@@ -195,11 +225,17 @@ def main():
     rng = jax.random.key(args.seed + 1, impl="rbg")
     final_epoch = None
     for epoch in range(start_epoch, max_epoch):
-        train_dataset.set_epoch(epoch)
-        state, summary = executor.train(
-            state, train_dataset, rng, scheduler.lr, epoch
-        )
-        cv = executor.cv(state, cv_dataset, epoch)
+        if args.device_resident:
+            state, summary = executor.train_resident(
+                state, train_corpus, rng, scheduler.lr, epoch, batch_size
+            )
+            cv = executor.cv_resident(state, cv_corpus, batch_size, epoch)
+        else:
+            train_dataset.set_epoch(epoch)
+            state, summary = executor.train(
+                state, train_dataset, rng, scheduler.lr, epoch
+            )
+            cv = executor.cv(state, cv_dataset, epoch)
         logging.info(
             "Epoch %d done: train_loss %.6f cv_loss %.6f cv_acc %.4f "
             "throughput %.1f audio-s/s",

@@ -110,6 +110,133 @@ class Executor:
         self.log_metrics({"epoch": epoch, "lr": lr, **summary})
         return state, summary
 
+    # ---------------- device-resident epoch mode ----------------
+
+    def _resident_steps(self, steps_per_epoch: int):
+        """Jitted resident train/cv steps, cached per epoch length."""
+        cache = getattr(self, "_resident_cache", None)
+        if cache is None:
+            cache = self._resident_cache = {}
+        if steps_per_epoch not in cache:
+            from wekws_tpu.data.resident import make_resident_steps
+
+            cache[steps_per_epoch] = make_resident_steps(
+                self.trainer, self.mesh, steps_per_epoch
+            )
+        return cache[steps_per_epoch]
+
+    def train_resident(
+        self, state, corpus, rng: jax.Array, lr: float, epoch: int,
+        batch_size: int, sync: bool = True,
+    ) -> Tuple[object, Dict[str, float]]:
+        """One epoch over a staged ResidentCorpus: the per-epoch batch
+        index matrix is the only H2D (a few hundred KB); every step is
+        one XLA dispatch that gathers, featurizes and trains on device.
+
+        Shuffle order is Random(epoch) — identical to the streaming
+        path's DataList.
+
+        ``sync=False`` skips the end-of-epoch block_until_ready AND all
+        per-batch metric fetches (each is a device round-trip — ~30 ms
+        on tunneled backends, which dominates short epochs); callers
+        must block themselves before timing.  Per-batch logging is also
+        skipped whenever ``log_interval`` exceeds the epoch length."""
+        import jax.numpy as jnp
+
+        epoch_idx = corpus.epoch_index(epoch, batch_size)
+        steps = epoch_idx.shape[0]
+        train_step, _ = self._resident_steps(steps)
+        idx_dev = jax.device_put(
+            epoch_idx,
+            jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec()
+            ),
+        )
+        base = jnp.asarray(state.step)  # device scalar, no transfer
+        lr_dev = self._resident_lr(lr)
+        if corpus.host_wave_lengths is not None:
+            audio_seconds = float(
+                corpus.host_wave_lengths[epoch_idx].sum()
+            ) / corpus.sample_rate
+        else:
+            audio_seconds = corpus.audio_seconds * (
+                steps * batch_size / max(corpus.n, 1)
+            )
+        losses, accs = [], []
+        start = time.time()
+        metrics = None
+        log_batches = sync and self.log_interval <= steps
+        for idx in range(steps):
+            state, metrics = train_step(
+                state, corpus.arrays, idx_dev, base, rng, lr_dev
+            )
+            if log_batches and idx % self.log_interval == 0:
+                m = jax.device_get(metrics)
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
+                logging.info(
+                    "Epoch %d batch %d loss %.6f acc %.4f lr %.6g%s",
+                    epoch, idx, m["loss"], m["acc"], lr,
+                    " SKIPPED(non-finite)" if m["skipped"] else "",
+                )
+        if sync and metrics is not None:
+            m = jax.device_get(metrics)
+            if not losses:
+                losses.append(float(m["loss"]))
+                accs.append(float(m["acc"]))
+        elapsed = max(time.time() - start, 1e-9)
+        summary = {
+            "train_loss": float(np.mean(losses)) if losses else float("nan"),
+            "train_acc": float(np.mean(accs)) if accs else float("nan"),
+            "batches": steps,
+            "audio_seconds_per_s": audio_seconds / elapsed,
+        }
+        self.log_metrics({"epoch": epoch, "lr": lr, **summary})
+        return state, summary
+
+    def _resident_lr(self, lr: float):
+        """Device-cached lr scalar (same rationale as Trainer.train_step:
+        a fresh 4-byte device_put per step stalls tunneled backends)."""
+        if getattr(self, "_res_lr_value", None) != float(lr):
+            import jax.numpy as jnp
+
+            self._res_lr_value = float(lr)
+            self._res_lr_dev = jnp.asarray(lr, jnp.float32)
+        return self._res_lr_dev
+
+    def cv_resident(
+        self, state, corpus, batch_size: int, epoch: int = 0
+    ) -> Dict[str, float]:
+        """Validation over a staged corpus: sequential batches, exact
+        accounting via the validity override on the padded tail."""
+        key = (id(corpus), batch_size)
+        cache = getattr(self, "_resident_cv_cache", None)
+        if cache is None:
+            cache = self._resident_cv_cache = {}
+        if key not in cache:
+            idx, ok = corpus.cv_index(batch_size)
+            cache[key] = (jax.device_put(idx), jax.device_put(ok))
+        idx_dev, ok_dev = cache[key]
+        _, cv_step = self._resident_steps(max(int(idx_dev.shape[0]), 1))
+        total_loss, total_correct, total_utts = 0.0, 0.0, 0
+        for i in range(idx_dev.shape[0]):
+            out = jax.device_get(
+                cv_step(state, corpus.arrays, idx_dev[i], ok_dev[i])
+            )
+            total_loss += float(out["loss_sum"])
+            total_correct += float(out["correct_sum"])
+            total_utts += int(out["count"])
+        result = {
+            "cv_loss": total_loss / max(total_utts, 1),
+            "cv_acc": total_correct / max(total_utts, 1),
+            "utts": total_utts,
+        }
+        logging.info(
+            "Epoch %d CV loss %.6f acc %.4f (%d utts)",
+            epoch, result["cv_loss"], result["cv_acc"], total_utts,
+        )
+        return result
+
     def cv(
         self, state, dataset, epoch: int = 0, decode_acc: bool = False
     ) -> Dict[str, float]:
