@@ -285,23 +285,28 @@ def _bn_train_fwd(x, scale, bias, eps, mean, var):
     inv = jax.lax.rsqrt(var + eps)
     xhat = (x.astype(jnp.float32) - mean) * inv
     y = xhat * scale + bias
-    # zero-size dtype token: residual leaves must be JAX types, and the
-    # backward needs x's dtype for the dx cotangent
-    return y, (xhat, inv, scale, jnp.zeros((0,), x.dtype))
+    # Residual is x ITSELF (usually bf16), not the f32 xhat: x is
+    # already materialized in HBM as the producing conv's output, so
+    # the forward writes NO extra residual, and the backward reads
+    # half the bytes (2 B vs 4 B per element), recomputing
+    # xhat = (x - mean) * inv inside its fused reduction — the same
+    # cast/multiply the forward did, so gradients stay bit-identical.
+    # Measured: B=1024 full MDTC step 17.0 -> 14.8 ms (PERF.md r4).
+    return y, (x, mean, inv, scale)
 
 
 def _bn_train_bwd(eps, res, dy):
-    xhat, inv, scale, x_token = res
-    x_dtype = x_token.dtype
+    x, mean, inv, scale = res
     axes = tuple(range(dy.ndim - 1))  # all but channel
     n = 1
     for a in axes:
         n *= dy.shape[a]
     dy32 = dy.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * inv
     dbeta = jnp.sum(dy32, axis=axes)
     dgamma = jnp.sum(dy32 * xhat, axis=axes)
     g = (scale * inv) / n
-    dx = (g * (n * dy32 - dbeta - xhat * dgamma)).astype(x_dtype)
+    dx = (g * (n * dy32 - dbeta - xhat * dgamma)).astype(x.dtype)
     # cotangents for (x, scale, bias, mean, var): mean/var were
     # computed FROM x, and their contribution is already folded into
     # the dx formula above, so they get symbolic zeros
