@@ -1,8 +1,11 @@
 // Real-time streaming driver.  Audio sources:
-//   * --mic[=device]  live ALSA capture (dlopen'd libasound — see
-//                     frontend/alsa_capture.h), e.g. --mic=default
-//   * stdin           raw 16-bit PCM (default), e.g.
+//   * --mic[=device]    live ALSA capture (dlopen'd libasound — see
+//                       frontend/alsa_capture.h), e.g. --mic=default
+//   * --pulse[=source]  live PulseAudio/PipeWire capture (dlopen'd
+//                       libpulse-simple — frontend/pulse_capture.h)
+//   * stdin             raw 16-bit PCM (default), e.g.
 //       arecord -f S16_LE -r 16000 -c 1 -t raw | stream_kws_main <model>
+//       sox -d -t raw -r 16000 -e signed -b 16 -c 1 - | stream_kws_main <model>  (macOS)
 //
 // Source thread -> feature pipeline (blocking queue) -> KWS engine
 // poll loop.  Same role as the reference's PortAudio driver
@@ -21,6 +24,7 @@
 #include <vector>
 
 #include "frontend/alsa_capture.h"
+#include "frontend/pulse_capture.h"
 #include "kws/keyword_spotting.h"
 
 namespace {
@@ -39,11 +43,12 @@ void StdinReader(wekws::KeywordSpotting* kws) {
   kws->SetInputFinished();
 }
 
+template <class Capture>
 void MicReader(wekws::KeywordSpotting* kws, const std::string& device,
                int sample_rate, std::atomic<bool>* stop) {
-  wekws::AlsaCapture cap;
+  Capture cap;
   if (!cap.Open(device, sample_rate)) {
-    std::fprintf(stderr, "falling back is not possible in --mic mode\n");
+    std::fprintf(stderr, "falling back is not possible in mic mode\n");
     kws->SetInputFinished();
     return;
   }
@@ -67,6 +72,7 @@ int main(int argc, char* argv[]) {
   std::string model_dir;
   std::string mic_device;
   bool use_mic = false;
+  bool use_pulse = false;
   int batch_size = 16;
   bool softmax = false;
   std::vector<std::string> positional;
@@ -78,14 +84,19 @@ int main(int argc, char* argv[]) {
     } else if (arg.rfind("--mic=", 0) == 0) {
       use_mic = true;
       mic_device = arg.substr(6);
+    } else if (arg == "--pulse") {
+      use_pulse = true;
+    } else if (arg.rfind("--pulse=", 0) == 0) {
+      use_pulse = true;
+      mic_device = arg.substr(8);
     } else {
       positional.push_back(arg);
     }
   }
   if (positional.empty()) {
     std::fprintf(stderr,
-                 "usage: %s [--mic[=device]] <model_dir> [batch] "
-                 "[softmax]\n",
+                 "usage: %s [--mic[=device]|--pulse[=source]] "
+                 "<model_dir> [batch] [softmax]\n",
                  argv[0]);
     return 1;
   }
@@ -99,7 +110,12 @@ int main(int argc, char* argv[]) {
   std::thread reader;
   if (use_mic) {
     const int rate = kws.sample_rate();
-    reader = std::thread(MicReader, &kws, mic_device, rate, &stop);
+    reader = std::thread(MicReader<wekws::AlsaCapture>, &kws, mic_device,
+                         rate, &stop);
+  } else if (use_pulse) {
+    const int rate = kws.sample_rate();
+    reader = std::thread(MicReader<wekws::PulseCapture>, &kws, mic_device,
+                         rate, &stop);
   } else {
     reader = std::thread(StdinReader, &kws);
   }
