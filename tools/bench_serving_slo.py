@@ -1,0 +1,186 @@
+"""Serving SLOs: per-chunk latency percentiles + keyword detection
+latency (r3 verdict item 6).
+
+Two measurements the reference has no analog of:
+
+* ``latency``: per-chunk p50/p95/p99 of the batched streaming engine
+  (BatchKeywordSpotter.step: device step + host FSM decode) at 1/16/64
+  concurrent streams, each step processing ``--chunk`` frames per
+  stream.  Per-call BLOCKED timing — what a serving client sees per
+  chunk, not queued throughput.  Also reports the realtime factor
+  (streams x chunk audio / p50).
+
+* ``detection``: keyword-detection latency — wall audio the engine
+  needs to see PAST the keyword's end before the FSM fires (the
+  wake-word deployment metric).  Synthesizes utterances with the
+  keyword's tone sequence at known sample positions (the
+  examples/synthetic_ctc corpus convention), streams them through
+  KeyWordSpotter in chunks, and reports
+  (activation_frame - keyword_end) percentiles in ms, plus misses.
+  Total deployment latency ~= this + chunk buffering (<= chunk_ms) +
+  per-chunk compute (the ``latency`` table).
+
+Usage:
+  python tools/bench_serving_slo.py --config exp/.../config.yaml \
+      --checkpoint exp/.../avg_5.ckpt --tokens dict/dict.txt \
+      --keyword 123 [--mode latency|detection|both]
+Prints one JSON line per configuration.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+SR = 16000
+
+
+def pct(vals, q):
+    return float(np.percentile(np.asarray(vals), q))
+
+
+def bench_latency(args):
+    from wekws_tpu.runtime.batch_spotter import BatchKeywordSpotter
+
+    for streams in args.streams:
+        spotter = BatchKeywordSpotter(
+            args.checkpoint, args.config, args.tokens, args.lexicon,
+            threshold=args.threshold, num_streams=streams,
+            step_frames=args.chunk, device_decode=args.device_decode,
+        )
+        spotter.set_keywords(args.keyword)
+        rng = np.random.default_rng(0)
+        chunk_samples = args.chunk * 160 + 400  # keep frames flowing
+        pcm = [
+            (rng.standard_normal(chunk_samples * 4) * 500)
+            .astype(np.int16).tobytes()
+            for _ in range(8)
+        ]
+        # prime every stream with enough audio for many steps
+        for s in range(streams):
+            spotter.accept_wave(s, pcm[s % len(pcm)])
+        for _ in range(args.warmup):
+            spotter.step()
+        lat = []
+        for i in range(args.iters):
+            if i % 16 == 0:  # keep buffers topped up
+                for s in range(streams):
+                    spotter.accept_wave(s, pcm[(s + i) % len(pcm)])
+            t0 = time.perf_counter()
+            spotter.step()
+            lat.append((time.perf_counter() - t0) * 1e3)
+        chunk_ms = args.chunk * 10.0
+        p50 = pct(lat, 50)
+        print(json.dumps({
+            "bench": "per_chunk_latency",
+            "streams": streams,
+            "chunk_frames": args.chunk,
+            "device_decode": bool(args.device_decode),
+            "p50_ms": round(p50, 3),
+            "p95_ms": round(pct(lat, 95), 3),
+            "p99_ms": round(pct(lat, 99), 3),
+            "realtime_factor": round(streams * chunk_ms / p50, 1),
+        }), flush=True)
+
+
+def synth_keyword_utt(rng, tones, keyword, lead_s, total_s):
+    """Background noise with the keyword tone sequence starting at
+    ``lead_s``; returns (wave int16, keyword_end_sample)."""
+    n = int(SR * total_s)
+    w = 0.02 * rng.standard_normal(n)
+    pos = int(SR * lead_s)
+    for ch in keyword:
+        f = tones[ch] * (1 + 0.02 * rng.standard_normal())
+        d = int(SR * (0.16 + 0.04 * rng.random()))
+        a = 0.25 + 0.1 * rng.random()
+        seg = a * np.sin(2 * np.pi * f * np.arange(d) / SR)
+        w[pos:pos + d] += seg
+        pos += d + int(SR * 0.02 * rng.random())
+    return (
+        np.clip(w * 32768.0, -32768, 32767).astype(np.int16),
+        pos,
+    )
+
+
+def bench_detection(args):
+    from wekws_tpu.runtime.keyword_spotter import KeyWordSpotter
+
+    spotter = KeyWordSpotter(
+        args.checkpoint, args.config, args.tokens, args.lexicon,
+        threshold=args.threshold,
+    )
+    spotter.set_keywords(args.keyword)
+    tones = {}
+    for part in args.tones.split(","):
+        k, v = part.split(":")
+        tones[k] = float(v)
+    rng = np.random.default_rng(7)
+    chunk_bytes = int(SR * args.chunk_ms / 1000) * 2
+    latencies, misses = [], 0
+    resolution_ms = spotter.resolution * 1000.0
+    for _ in range(args.utts):
+        wave, kw_end = synth_keyword_utt(
+            rng, tones, args.keyword,
+            lead_s=0.5 + 1.5 * rng.random(), total_s=4.0,
+        )
+        spotter.reset_all()
+        pcm = wave.tobytes()
+        detected = False
+        for off in range(0, len(pcm), chunk_bytes):
+            r = spotter.forward(pcm[off:off + chunk_bytes])
+            if r.get("state") == 1:
+                act_ms = (
+                    spotter.detector.activation_frame * resolution_ms
+                )
+                latencies.append(act_ms - kw_end / SR * 1000.0)
+                detected = True
+                break
+        if not detected:
+            misses += 1
+    out = {
+        "bench": "detection_latency",
+        "keyword": args.keyword,
+        "utts": args.utts,
+        "missed": misses,
+        "chunk_ms": args.chunk_ms,
+    }
+    if latencies:
+        out.update({
+            "p50_ms": round(pct(latencies, 50), 1),
+            "p95_ms": round(pct(latencies, 95), 1),
+            "p99_ms": round(pct(latencies, 99), 1),
+            "min_ms": round(min(latencies), 1),
+            "max_ms": round(max(latencies), 1),
+        })
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--tokens", required=True)
+    ap.add_argument("--lexicon", default=None)
+    ap.add_argument("--keyword", default="123")
+    ap.add_argument("--threshold", type=float, default=0.1)
+    ap.add_argument("--mode", default="both",
+                    choices=["latency", "detection", "both"])
+    ap.add_argument("--streams", type=int, nargs="+", default=[1, 16, 64])
+    ap.add_argument("--chunk", type=int, default=8,
+                    help="frames per engine step (latency mode)")
+    ap.add_argument("--chunk_ms", type=float, default=100.0,
+                    help="PCM chunk size (detection mode)")
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--warmup", type=int, default=20)
+    ap.add_argument("--utts", type=int, default=50)
+    ap.add_argument("--device_decode", action="store_true")
+    args = ap.parse_args()
+    if args.mode in ("latency", "both"):
+        bench_latency(args)
+    if args.mode in ("detection", "both"):
+        bench_detection(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,15 @@ def main():
     model_conf = {
         k: v for k, v in configs["model"].items() if k != "dtype"
     }
+    # bn_dtype rides along with the training dtype (bf16 BN
+    # activations, PERF.md r3) — with dtype stripped it would hand
+    # bf16 activations to f32 convs (dtype mismatch) and carry bf16
+    # rounding into the parity gate
+    if isinstance(model_conf.get("backbone"), dict):
+        model_conf["backbone"] = {
+            k: v for k, v in model_conf["backbone"].items()
+            if k != "bn_dtype"
+        }
     model = init_model(model_conf)
     input_dim = configs["model"]["input_dim"]
     feats0 = np.zeros((1, 10, input_dim), np.float32)

@@ -106,6 +106,11 @@ class StreamDetector:
             ):
                 self.activated = True
                 self.last_active_pos = end
+                # absolute frame at which the FSM fired — consumed by
+                # the detection-latency SLO bench (the wake-word
+                # deployment metric: audio the engine had to see past
+                # the keyword before the event)
+                self.activation_frame = t
                 logging.info(
                     "Frame %d detect %s from %d to %d (dur %d, score %.3f) "
                     "Activated.",
@@ -159,6 +164,7 @@ class StreamDetector:
     def reset_all(self) -> None:
         self.reset()
         self.total_frames = 0
+        self.activation_frame = -1
         self.last_active_pos = -1
         self.result: Dict = {}
 
