@@ -266,6 +266,11 @@ def main():
         model_conf["backbone"] = {
             **model_conf["backbone"], "remat": True,
         }
+    if os.environ.get("BENCH_FUSED_TRAIN"):
+        # fused Pallas training blocks (ops/fused_mdtc_train.py)
+        model_conf["backbone"] = {
+            **model_conf["backbone"], "fused_train": True,
+        }
     model = init_model(model_conf)
     dataset_conf = dict(DATASET_CONF)
     if os.environ.get("BENCH_FUSED_FRONTEND"):

@@ -447,3 +447,173 @@ def test_two_process_lockstep_fast(tmp_path):
         assert line, out[-2000:]
         shape_lines.append(line[0])
     assert shape_lines[0] == shape_lines[1]
+
+
+ENDURANCE_WORKER = r'''
+# NOTE: __main__-guarded (bottom of file): the DataLoader's SPAWN
+# workers re-import this script as the parent's main module, and an
+# unguarded jax.distributed.initialize in the children would register
+# a second incarnation with the coordinator (fatal ABORTED errors).
+import hashlib, os, sys, time
+
+
+def main():
+    pid = int(sys.argv[1])
+    port = sys.argv[2]
+    data_list = sys.argv[3]
+    ckpt_dir = sys.argv[4]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                               num_processes=4, process_id=pid)
+    sys.path.insert(0, %(repo)r)
+    import numpy as np
+    from wekws_tpu.data.dataset import init_dataset
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+    from wekws_tpu.data.loader import DataLoader
+    from wekws_tpu.models import init_model
+    from wekws_tpu.parallel import make_mesh
+    from wekws_tpu.train import (Executor, ReduceLROnPlateau, Trainer,
+                                 load_checkpoint, save_checkpoint)
+    from wekws_tpu.parallel.mesh import replicated
+
+    assert jax.process_count() == 4 and len(jax.devices()) == 8
+    mesh = make_mesh()
+    conf = {
+        "filter_conf": {"max_length": 20480, "min_length": 0},
+        "resample_conf": {"resample_rate": 16000},
+        "feats_type": "fbank",
+        "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                       "frame_length": 25, "dither": 0.0},
+        "speed_perturb": True,
+        "spec_aug": True,
+        "spec_aug_conf": {"num_t_mask": 1, "num_f_mask": 1,
+                          "max_t": 5, "max_f": 3},
+        "shuffle": True,
+        "batch_conf": {"batch_size": 2,
+                       "bucket_boundaries": [16000, 32000]},
+    }
+    model_conf = {
+        "input_dim": 23, "output_dim": 1, "hidden_dim": 16,
+        "preprocessing": {"type": "linear"},
+        "backbone": {"type": "tcn", "ds": True, "num_layers": 2,
+                     "kernel_size": 4, "dropout": 0.0},
+    }
+    pipe = DeviceFeaturePipeline.from_conf(conf, True)
+    cvp = DeviceFeaturePipeline.from_conf(conf, False)
+    tr = Trainer(init_model(model_conf), pipe, cvp, "max_pooling",
+                 learning_rate=1e-3, min_duration=5)
+    ex = Executor(tr, mesh, log_interval=1000)
+    train_ds = DataLoader(
+        init_dataset(data_list, conf, split="train", rank=pid, world_size=4),
+        num_workers=2,
+    )
+    cv_ds = DataLoader(
+        init_dataset(data_list, conf, split="cv", rank=pid, world_size=4),
+        num_workers=2,
+    )
+    rng = jax.random.key(5, impl="rbg")
+    scheduler = ReduceLROnPlateau(1e-3, factor=0.5, patience=0)
+    state = None
+    ckpt = os.path.join(ckpt_dir, "mid.ckpt")
+    marker = ckpt + ".done"
+    for epoch in range(4):
+        train_ds.set_epoch(epoch)
+        if state is None:
+            first = next(iter(cv_ds))
+            state = tr.init_state(jax.random.PRNGKey(0), first, mesh)
+        state, _ = ex.train(state, train_ds, rng, scheduler.lr, epoch)
+        cv = ex.cv(state, cv_ds, epoch)
+        scheduler.step(cv["cv_loss"])
+        if epoch == 1:
+            # mid-training checkpoint + resume: rank0 persists, everyone
+            # reloads and re-commits to the mesh (epoch-resume semantics)
+            if pid == 0:
+                save_checkpoint(ckpt, state.params, state.batch_stats,
+                                {"epoch": epoch, "lr": scheduler.lr,
+                                 "cv_loss": cv["cv_loss"]})
+                open(marker, "w").write("ok")
+            else:
+                for _ in range(600):
+                    if os.path.exists(marker):
+                        break
+                    time.sleep(0.1)
+            tmpl = {"params": jax.device_get(state.params),
+                    "batch_stats": jax.device_get(state.batch_stats)}
+            params, stats = load_checkpoint(ckpt, template=tmpl)
+            state = jax.device_put(
+                state.replace(params=params, batch_stats=stats),
+                replicated(mesh),
+            )
+    train_ds.close()
+    cv_ds.close()
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    digest = hashlib.sha256(
+        b"".join(np.ascontiguousarray(a).tobytes() for a in leaves)
+    ).hexdigest()
+    print(f"MH_ENDURANCE digest={digest} lr={scheduler.lr}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
+''' % {"repo": REPO}
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_MULTIHOST") != "1",
+    reason="slow 4-process test; set RUN_MULTIHOST=1",
+)
+def test_four_process_endurance(tmp_path):
+    """r3 verdict item 7: 4 processes x 4 epochs under the promoted
+    defaults — shm loader workers, speed-perturb + spec_aug, bucketed
+    lockstep schedule, mid-training checkpoint save/reload,
+    ReduceLROnPlateau stepping — ending with BIT-IDENTICAL params and
+    lr on every process."""
+    import json
+
+    import numpy as np
+
+    from wekws_tpu.data.audio import write_wav
+
+    lines = []
+    rng = np.random.default_rng(11)
+    for i in range(32):
+        n = 12000 + 400 * (i % 5) if i % 2 else 24000 + 400 * (i % 5)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p),
+                  (0.2 * rng.standard_normal(n)).astype(np.float32),
+                  16000)
+        lines.append(json.dumps({
+            "key": f"u{i}", "txt": str(i % 2 - 1), "wav": str(p),
+            "duration": n / 16000.0,
+        }))
+    lst = tmp_path / "data.list"
+    lst.write_text("\n".join(lines))
+
+    worker = tmp_path / "endurance_worker.py"
+    worker.write_text(ENDURANCE_WORKER)
+    port = free_port()
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker), str(i), port, str(lst),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for i in range(4)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    digests = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
+        line = [ln for ln in out.splitlines() if "MH_ENDURANCE" in ln]
+        assert line, out[-2000:]
+        digests.append(line[0])
+    assert len(set(digests)) == 1, digests

@@ -186,6 +186,14 @@ def main():
         if jax.process_index() == 0 else None,
     )
 
+    # TensorBoard epoch scalars (reference train.py:188,239-241);
+    # dependency-free writer, alongside metrics.jsonl
+    writer = None
+    if jax.process_index() == 0:
+        from wekws_tpu.train.tensorboard import SummaryWriter
+
+        writer = SummaryWriter(os.path.join(args.model_dir, "tensorboard"))
+
     if args.device_resident:
         b0 = min(batch_size, cv_corpus.n)
         first_batch = {
@@ -250,6 +258,14 @@ def main():
                 {"epoch": epoch, "lr": scheduler.lr,
                  "cv_loss": cv["cv_loss"]},
             )
+        if writer is not None:
+            writer.add_scalars(
+                {"cv_loss": cv["cv_loss"], "cv_acc": cv["cv_acc"],
+                 "lr": scheduler.lr,
+                 "train_loss": summary["train_loss"]},
+                step=epoch,
+            )
+            writer.flush()
         scheduler.step(cv["cv_loss"])
         final_epoch = epoch
 

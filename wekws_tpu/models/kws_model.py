@@ -181,6 +181,7 @@ def init_model(configs: dict) -> KWSModel:
             ghost_bn=int(bconf.get("ghost_bn", 0)),
             bn_dtype=(jnp.dtype(bconf["bn_dtype"])
                       if bconf.get("bn_dtype") else None),
+            fused_train=bool(bconf.get("fused_train", False)),
         )
     elif backbone_type == "fsmn":
         backbone = FSMN(

@@ -71,6 +71,13 @@ class TCNBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
     ghost_bn: int = 0
     bn_dtype: Optional[jnp.dtype] = None
+    # Fused Pallas training path (ops/fused_mdtc_train.py): the whole
+    # block (dw conv -> 3x exact-BN -> 2x pointwise -> relu -> res)
+    # as a few VMEM-resident kernel passes instead of ~10 XLA fusions.
+    # Applies to the whole-utterance training forward only; eval,
+    # streaming-cache and mismatched-channel calls use the XLA path.
+    # Parameter tree is IDENTICAL either way (shim param holders).
+    fused_train: bool = False
 
     @property
     def padding(self) -> int:
@@ -80,6 +87,14 @@ class TCNBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, cache: jnp.ndarray, train: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if (
+            self.fused_train and train and cache is None
+            and self.in_channels == self.res_channels
+            and not self.ghost_bn
+        ):
+            from wekws_tpu.ops.fused_mdtc_train import fused_block_apply
+
+            return fused_block_apply(self, x, train), None
         # cache=None (whole-utterance training/scoring): the zero left
         # context becomes implicit conv padding — no concatenate, no
         # cache-slice copies in the step graph (a measured 3.9 ms/step
@@ -129,6 +144,10 @@ class MDTC(nn.Module):
     # semantics).  See layers.GhostBatchNorm; gate on a convergence run.
     ghost_bn: int = 0
     bn_dtype: Optional[jnp.dtype] = None
+    # backbone.fused_train: route whole-utterance training forwards
+    # through the fused Pallas block kernels (exact BN semantics,
+    # parity pinned in tests/test_fused_train.py)
+    fused_train: bool = False
 
     def setup(self):
         assert self.kernel_size % 2 == 1
@@ -181,7 +200,7 @@ class MDTC(nn.Module):
         y, c = block_cls(
             self.in_channels, self.res_channels, self.kernel_size, 1,
             dtype=self.dtype, ghost_bn=self.ghost_bn,
-            bn_dtype=self.bn_dtype,
+            bn_dtype=self.bn_dtype, fused_train=self.fused_train,
             name="preprocessor",
         )(x, cache[0], train)
         y = nn.relu(y)
@@ -198,6 +217,7 @@ class MDTC(nn.Module):
                     dtype=self.dtype,
                     ghost_bn=self.ghost_bn,
                     bn_dtype=self.bn_dtype,
+                    fused_train=self.fused_train,
                     name=f"stack_{s}_block_{i}",
                 )(y, cache[idx], train)
                 new_caches.append(c)
