@@ -18,6 +18,20 @@ import time
 import numpy as np
 
 
+def barrier(x):
+    """Timing barrier: fetch one element to host.
+
+    On the tunneled axon backend ``jax.block_until_ready`` is a no-op
+    for single-device (non-pjit) arrays (PERF.md r4 'Timing-method
+    audit'); a host fetch of any element data-dependent on the last
+    step is the only reliable way to drain the dispatch queue.  The
+    fetched element rides the dependence chain, so one fetch at the
+    end of a timed loop forces every enqueued step.
+    """
+    arr = np.asarray(x).reshape(-1)
+    return arr[:1]
+
+
 def bench_ctc(n_devices, mesh):
     """CTC training throughput at the reference's production FSMN-CTC
     shape (hi_xiaowen conf/fsmn_ctc.yaml: 80-mel + splice(2,2) +
@@ -79,12 +93,12 @@ def bench_ctc(n_devices, mesh):
     key = jax.random.key(1, impl="rbg")
     for _ in range(2):
         state, metrics = trainer.train_step(state, db, key, 1e-3)
-    jax.block_until_ready(metrics["loss"])
+    barrier(metrics["loss"])
     iters = int(os.environ.get("BENCH_ITERS", 30))
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer.train_step(state, db, key, 1e-3)
-    jax.block_until_ready(metrics["loss"])
+    barrier(metrics["loss"])
     elapsed = time.perf_counter() - start
     value = b * seconds * iters / elapsed / n_devices
     print(json.dumps({
@@ -157,7 +171,7 @@ def bench_epoch(n_devices, mesh):
             state, corpus, rng, 1e-3, epoch, batch, sync=False
         )
         audio += summary["batches"] * batch * seconds
-    jax.block_until_ready(state.params)
+    barrier(jax.tree.leaves(state.params)[0])
     train_s = time.perf_counter() - t0
 
     value = audio / (train_s + stage_s) / n_devices
@@ -306,13 +320,13 @@ def main():
     # specialization — both must compile before timing)
     for _ in range(2):
         state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
-    jax.block_until_ready(metrics["loss"])
+    barrier(metrics["loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", 30))
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
-    jax.block_until_ready(metrics["loss"])
+    barrier(metrics["loss"])
     elapsed = time.perf_counter() - start
 
     audio_seconds = b * seconds_per_utt * iters

@@ -360,7 +360,13 @@ def _rep_spec(shape):
                         memory_space=pltpu.VMEM)
 
 
-def _pick_block(b: int, cap: int = 128) -> int:
+def _pick_block(b: int, cap: int = 16) -> int:
+    """Batch-tile rows per grid step.  The cap is set by the 16 MB
+    scoped-VMEM stack limit on v5e: the padded-input scratch plus the
+    kernel's f32 temporaries cost ~300 KB/row at the flagship
+    (T=198, C=64) shape, so 64 rows already OOMs the Mosaic compile
+    (measured: 19.05M > 16M at bt=64, 38.32M at bt=128); 32 rows
+    compiles in seconds and keeps every pass VMEM-resident."""
     blk = min(b, cap)
     while b % blk:
         blk -= 1
@@ -643,7 +649,9 @@ def _fused_bwd(kernel_size, dilation, eps, block_b, precision,
                res, cts):
     dy, _ = cts  # running-stat updates are stop-gradient
     params, saved = res
-    blk = block_b or _pick_block(dy.shape[0])
+    # backward kernels carry 4 row-block inputs + ~8 f32 temporaries
+    # per row, so their VMEM-safe tile is half the forward's
+    blk = block_b or _pick_block(dy.shape[0], cap=8)
     dx, grads = _block_bwd_passes(
         params, saved, dy, k=kernel_size, dilation=dilation, eps=eps,
         block_b=blk, mdt=_mdt(precision),
