@@ -29,9 +29,13 @@ Prints one JSON line per configuration.
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SR = 16000
 
@@ -51,37 +55,64 @@ def bench_latency(args):
         )
         spotter.set_keywords(args.keyword)
         rng = np.random.default_rng(0)
-        chunk_samples = args.chunk * 160 + 400  # keep frames flowing
+        # One chunk of NEW audio per stream per iteration — the
+        # steady-state realtime flow.  (An earlier version primed 4
+        # chunks and topped up every 16 iters, so most timed step()
+        # calls found every stream dry and returned {} — p50 measured
+        # the empty-step early-exit, not the engine.)
+        chunk_samples = args.chunk * 160
         pcm = [
-            (rng.standard_normal(chunk_samples * 4) * 500)
+            (rng.standard_normal(chunk_samples) * 500)
             .astype(np.int16).tobytes()
             for _ in range(8)
         ]
-        # prime every stream with enough audio for many steps
+        # prime the 400-sample frontend window + warm the compiled step
         for s in range(streams):
-            spotter.accept_wave(s, pcm[s % len(pcm)])
-        for _ in range(args.warmup):
+            spotter.accept_wave(
+                s, (rng.standard_normal(800) * 500)
+                .astype(np.int16).tobytes())
+        for i in range(args.warmup):
+            for s in range(streams):
+                spotter.accept_wave(s, pcm[(s + i) % len(pcm)])
             spotter.step()
-        lat = []
+        lat_step, lat_idle = [], []
+        t_all0 = time.perf_counter()
         for i in range(args.iters):
-            if i % 16 == 0:  # keep buffers topped up
-                for s in range(streams):
-                    spotter.accept_wave(s, pcm[(s + i) % len(pcm)])
+            # per-chunk service time: feature push + batched device
+            # step + decode (host FSM or on-device), as a serving
+            # client sees it.  With frame_skip/subsampling a device
+            # step only fires once enough model frames accumulate, so
+            # chunks split into step-bearing and buffer-only service
+            # times — reported separately.
             t0 = time.perf_counter()
-            spotter.step()
-            lat.append((time.perf_counter() - t0) * 1e3)
+            for s in range(streams):
+                spotter.accept_wave(s, pcm[(s + i) % len(pcm)])
+            ran = spotter.step()
+            dt = (time.perf_counter() - t0) * 1e3
+            (lat_step if ran else lat_idle).append(dt)
+        wall = time.perf_counter() - t_all0
         chunk_ms = args.chunk * 10.0
-        p50 = pct(lat, 50)
-        print(json.dumps({
+        audio_s = args.iters * streams * chunk_ms / 1e3
+        out = {
             "bench": "per_chunk_latency",
             "streams": streams,
             "chunk_frames": args.chunk,
             "device_decode": bool(args.device_decode),
-            "p50_ms": round(p50, 3),
-            "p95_ms": round(pct(lat, 95), 3),
-            "p99_ms": round(pct(lat, 99), 3),
-            "realtime_factor": round(streams * chunk_ms / p50, 1),
-        }), flush=True)
+            "chunks": args.iters,
+            "step_chunks": len(lat_step),
+            # aggregate realtime factor over the whole run (audio
+            # seconds consumed per wall second, all streams)
+            "realtime_factor": round(audio_s / wall, 1),
+        }
+        if lat_step:
+            out.update({
+                "step_p50_ms": round(pct(lat_step, 50), 3),
+                "step_p95_ms": round(pct(lat_step, 95), 3),
+                "step_p99_ms": round(pct(lat_step, 99), 3),
+            })
+        if lat_idle:
+            out["buffer_p50_ms"] = round(pct(lat_idle, 50), 3)
+        print(json.dumps(out), flush=True)
 
 
 def synth_keyword_utt(rng, tones, keyword, lead_s, total_s):
@@ -175,6 +206,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--utts", type=int, default=50)
     ap.add_argument("--device_decode", action="store_true")
+    ap.add_argument(
+        "--tones", default="1:500,2:800,3:1150,4:1500",
+        help="token:frequency map for keyword synthesis (detection "
+             "mode); default matches examples/synthetic_ctc "
+             "local/gen_data.py TONES")
     args = ap.parse_args()
     if args.mode in ("latency", "both"):
         bench_latency(args)
