@@ -36,13 +36,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timed(fn, args_list, iters=30):
-    import jax
+    """Time ``fn(wave, key) -> feats`` over a queued loop.
 
+    r4 timing-method audit (PERF.md): on the axon backend
+    ``block_until_ready`` is a no-op for plain-jit arrays, and
+    identical repeat executions are deduplicated — cycling a small
+    buffer pool is NOT enough once the pool wraps.  The loop threads
+    a scalar derived from each output into the next input (a real
+    data dependence that perturbs the wave by ~1e-6, timing-neutral)
+    and ends with a host fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(w, k, eps):
+        out = fn(w + eps, k)
+        lead = jax.tree_util.tree_leaves(out)[0]
+        return out, 1e-6 * lead.astype(jnp.float32).reshape(-1)[0]
+
+    cf = jax.jit(chained)
+    eps = jnp.float32(0.0)
     for a in args_list[:2]:
-        jax.block_until_ready(fn(*a))
+        out, eps = cf(*a, eps)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:1]
     start = time.perf_counter()
-    outs = [fn(*args_list[i % len(args_list)]) for i in range(iters)]
-    jax.block_until_ready(outs)
+    for i in range(iters):
+        out, eps = cf(*args_list[i % len(args_list)], eps)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).reshape(-1)[:1]
     return (time.perf_counter() - start) / iters
 
 
@@ -67,7 +86,19 @@ def main():
     pipe_x = DeviceFeaturePipeline.from_conf(DATASET_CONF, training=True)
     conf_f = {**DATASET_CONF, "fused_frontend": True}
     pipe_f = DeviceFeaturePipeline.from_conf(conf_f, training=True)
-    fe_x, fe_f = pipe_x.extractor, pipe_f.extractor
+
+    # Parity runs both paths at matmul precision 'high' — the 5e-3
+    # gate is that precision's error envelope.  (The promoted
+    # DATASET_CONF uses precision 'default' = bf16_3x since r3, which
+    # widens the XLA path's envelope to ~5e-2 and says nothing about
+    # the fused kernel.)  Latency below benches the promoted config.
+    hi_conf = {
+        **DATASET_CONF,
+        "fbank_conf": {**DATASET_CONF["fbank_conf"], "precision": "high"},
+    }
+    fe_x = DeviceFeaturePipeline.from_conf(hi_conf, training=True).extractor
+    fe_f = DeviceFeaturePipeline.from_conf(
+        {**hi_conf, "fused_frontend": True}, training=True).extractor
 
     # --- 1. parity, dither off (rng=None disables dither) ---
     fx = jax.jit(lambda w: fe_x(w, None, None)[0])

@@ -17,14 +17,25 @@ import json
 import time
 
 
-def queued_ms(fn, args_list, iters):
-    import jax
+def queued_ms(fn, feats_pool, cache0, iters):
+    """Time ``fn(feats, cache) -> (probs, cache)`` over a queued loop.
 
-    for a in args_list[:2]:
-        jax.block_until_ready(jax.tree_util.tree_leaves(fn(*a))[0])
+    The cache is threaded through the loop (real streaming behavior),
+    which also defeats the axon backend's identical-execution dedup,
+    and the loop ends with a host fetch of the last probs — on this
+    backend ``jax.block_until_ready`` is a no-op for plain-jit arrays
+    (PERF.md r4 'Timing-method audit'), so the earlier version of
+    this helper timed only the enqueue."""
+    import numpy as np
+
+    cache = cache0
+    for f in feats_pool[:2]:
+        probs, cache = fn(f, cache)
+    np.asarray(probs).reshape(-1)[:1]
     t0 = time.perf_counter()
-    outs = [fn(*args_list[i % len(args_list)]) for i in range(iters)]
-    jax.block_until_ready([jax.tree_util.tree_leaves(o)[0] for o in outs])
+    for i in range(iters):
+        probs, cache = fn(feats_pool[i % len(feats_pool)], cache)
+    np.asarray(probs).reshape(-1)[:1]
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -90,13 +101,9 @@ def main():
                 )
                 for i in range(8)
             ]
-            c0 = init_cache(b)
-            fused_ms = queued_ms(
-                step, [(f, c0) for f in pool], args.iters
-            )
-            flax_cache = model.init_cache(b)
+            fused_ms = queued_ms(step, pool, init_cache(b), args.iters)
             xla_ms = queued_ms(
-                xla_step, [(f, flax_cache) for f in pool], args.iters
+                xla_step, pool, model.init_cache(b), args.iters
             )
             print(json.dumps({
                 "model": name, "batch": b, "chunk": args.chunk,
