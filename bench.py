@@ -94,19 +94,26 @@ def bench_ctc(n_devices, mesh):
     for _ in range(2):
         state, metrics = trainer.train_step(state, db, key, 1e-3)
     barrier(metrics["loss"])
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    iters = int(os.environ.get("BENCH_ITERS", 100))
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer.train_step(state, db, key, 1e-3)
     barrier(metrics["loss"])
     elapsed = time.perf_counter() - start
     value = b * seconds * iters / elapsed / n_devices
-    print(json.dumps({
+    record = {
         "metric": "ctc_train_audio_seconds_per_s_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": 1.0,
-    }))
+    }
+    if not os.environ.get("BENCH_NO_ROOFLINE"):
+        record.update(roofline(
+            trainer._train_step_impl,
+            (state, db, key, jnp_lr(1e-3)),
+            elapsed / iters, n_devices,
+        ))
+    print(json.dumps(record))
 
 
 def bench_epoch(n_devices, mesh):
@@ -322,7 +329,14 @@ def main():
         state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
     barrier(metrics["loss"])
 
-    iters = int(os.environ.get("BENCH_ITERS", 30))
+    # 100 iters: the timed loop carries ~100 ms of fixed cost (queue
+    # ramp + the final fetch's tunnel round trip); at 30 iters that
+    # left ~12% of it in the number (148.7k vs 167.9k@100/171.6k@200,
+    # PERF.md r4).  The metric is steady-state throughput, so the
+    # default amortizes the fixed cost to ~1.5%.  (vs_baseline note:
+    # BASELINE.json was recorded at 30 iters, so ~0.13x of the ratio
+    # is methodology, not speed — PERF.md r4 'Timing-method audit'.)
+    iters = int(os.environ.get("BENCH_ITERS", 100))
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = trainer.train_step(state, device_batch, key, 1e-3)
