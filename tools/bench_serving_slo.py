@@ -52,6 +52,7 @@ def bench_latency(args):
             args.checkpoint, args.config, args.tokens, args.lexicon,
             threshold=args.threshold, num_streams=streams,
             step_frames=args.chunk, device_decode=args.device_decode,
+            device_frontend=args.device_frontend,
         )
         spotter.set_keywords(args.keyword)
         rng = np.random.default_rng(0)
@@ -98,6 +99,7 @@ def bench_latency(args):
             "streams": streams,
             "chunk_frames": args.chunk,
             "device_decode": bool(args.device_decode),
+            "device_frontend": bool(args.device_frontend),
             "chunks": args.iters,
             "step_chunks": len(lat_step),
             # aggregate realtime factor over the whole run (audio
@@ -206,6 +208,7 @@ def main():
     ap.add_argument("--warmup", type=int, default=20)
     ap.add_argument("--utts", type=int, default=50)
     ap.add_argument("--device_decode", action="store_true")
+    ap.add_argument("--device_frontend", action="store_true")
     ap.add_argument(
         "--tones", default="1:500,2:800,3:1150,4:1500",
         help="token:frequency map for keyword synthesis (detection "

@@ -45,6 +45,10 @@ def get_args():
     parser.add_argument("--score_beam", type=int, default=3)
     parser.add_argument("--path_beam", type=int, default=20)
     parser.add_argument("--device_decode", action="store_true")
+    parser.add_argument("--device_frontend", action="store_true",
+                        help="featurize inside the batched device "
+                             "dispatch (fbank+splice+skip); the host "
+                             "only buffers raw samples per stream")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="shard the stream axis over the first N "
                              "devices (0 = single device)")
@@ -71,7 +75,7 @@ def warmup_engine(engine):
     Stream state AND dispatch stats are cleared afterwards — the XLA
     compile lands inside the first dispatch's timing and would
     otherwise skew every later stats readout."""
-    cfg = engine.frontends[0].cfg
+    cfg = engine._frontend_args[0]
     chunk = bytes(
         2 * (cfg.frame_length + engine.step_frames * cfg.frame_shift)
     )
@@ -87,6 +91,10 @@ def warmup_engine(engine):
 
 def build_engine(args):
     import numpy as np
+
+    # tolerate pre-device_frontend Namespace objects (tests build
+    # their own argparse.Namespace)
+    device_frontend = getattr(args, "device_frontend", False)
 
     from wekws_tpu.runtime import BatchKeywordSpotter, BatchMaxPoolSpotter
 
@@ -105,6 +113,7 @@ def build_engine(args):
             num_streams=args.streams, step_frames=args.step_frames,
             interval_frames=args.interval_frames,
             keyword_names=names, mesh=mesh,
+            device_frontend=device_frontend,
         )
     if not args.token_file or not args.keywords:
         raise SystemExit(
@@ -117,7 +126,8 @@ def build_engine(args):
         max_frames=args.max_frames,
         interval_frames=args.interval_frames,
         score_beam=args.score_beam, path_beam=args.path_beam,
-        device_decode=args.device_decode, mesh=mesh,
+        device_decode=args.device_decode,
+        device_frontend=device_frontend, mesh=mesh,
     )
     engine.set_keywords(args.keywords)
     return engine

@@ -77,10 +77,25 @@ class _BatchedStreamEngine:
         assert num_streams >= 1 and step_frames >= 1
         self.num_streams = num_streams
         self.step_frames = step_frames
-        self.frontends: List[StreamingFrontend] = [
-            StreamingFrontend(*self._frontend_args)
-            for _ in range(num_streams)
-        ]
+        if not hasattr(self, "device_frontend"):
+            self.device_frontend = False
+        if self.device_frontend:
+            # host keeps raw-sample buffers only; fbank+splice+skip run
+            # inside the batched dispatch (runtime/device_frontend.py)
+            from wekws_tpu.runtime.device_frontend import WaveStreamBuffer
+
+            cfg, left, right, skip = self._frontend_args
+            self.frontends = []
+            self.wave_bufs: List[WaveStreamBuffer] = [
+                WaveStreamBuffer(cfg.frame_shift, cfg.frame_length,
+                                 left, right, skip, step_frames)
+                for _ in range(num_streams)
+            ]
+        else:
+            self.frontends = [
+                StreamingFrontend(*self._frontend_args)
+                for _ in range(num_streams)
+            ]
         self._pending_feats: List[np.ndarray] = [
             np.zeros((0, self.feat_dim), np.float32)
             for _ in range(num_streams)
@@ -105,6 +120,9 @@ class _BatchedStreamEngine:
     def accept_wave(self, stream: int, wave: bytes) -> None:
         """Queue a PCM chunk (int16 LE bytes) for one stream."""
         data = np.frombuffer(wave, dtype="<i2").astype(np.float32)
+        if self.device_frontend:
+            self.wave_bufs[stream].append(data)  # O(bytes) — no fbank
+            return
         feats, idx = self.frontends[stream].accept_waveform(data)
         if feats.shape[0]:
             self._pending_feats[stream] = np.concatenate(
@@ -115,6 +133,8 @@ class _BatchedStreamEngine:
             )
 
     def pending_frames(self, stream: int) -> int:
+        if self.device_frontend:
+            return self.wave_bufs[stream].available_outputs()
         return self._pending_feats[stream].shape[0]
 
     def step(self) -> Dict[int, Dict]:
@@ -124,7 +144,7 @@ class _BatchedStreamEngine:
         ready = [
             i
             for i in range(self.num_streams)
-            if self._pending_feats[i].shape[0] >= self.step_frames
+            if self.pending_frames(i) >= self.step_frames
         ]
         if not ready:
             return {}
@@ -151,9 +171,9 @@ class _BatchedStreamEngine:
                 break
             results.update(ran)
         tails = {
-            i: self._pending_feats[i].shape[0]
+            i: self.pending_frames(i)
             for i in range(self.num_streams)
-            if self._pending_feats[i].shape[0] >= 1
+            if self.pending_frames(i) >= 1
         }
         if tails:
             results.update(
@@ -181,11 +201,11 @@ class _BatchedStreamEngine:
         flush() for why the padded tail is exact and why it finalizes
         the slot."""
         results: List[Dict] = []
-        while self._pending_feats[stream].shape[0] >= self.step_frames:
+        while self.pending_frames(stream) >= self.step_frames:
             results.append(
                 self._run([stream], self.step_frames)[stream]
             )
-        rem = self._pending_feats[stream].shape[0]
+        rem = self.pending_frames(stream)
         if rem:
             results.append(
                 self._run(
@@ -213,16 +233,27 @@ class _BatchedStreamEngine:
         frames (zero-padded tails); downstream consumption and decode
         are masked to the valid prefix per row."""
         n, d = self.num_streams, self.feat_dim
-        feats = np.zeros((n, t, d), np.float32)
         active = np.zeros((n,), bool)
         tvalid: Dict[int, int] = {}
         for i in ready:
             k = t
             if lengths is not None and i in lengths:
                 k = min(int(lengths[i]), t)
-            feats[i, :k] = self._pending_feats[i][:k]
             active[i] = True
             tvalid[i] = k
+        if self.device_frontend:
+            # fixed-shape wave windows; fbank+splice+skip run inside
+            # the dispatch (runtime/device_frontend.py geometry)
+            w = self.wave_bufs[0].window_samples
+            waves = np.zeros((n, w), np.float32)
+            lo = np.zeros((n,), np.int32)
+            for i in ready:
+                waves[i], lo[i] = self.wave_bufs[i].window()
+            feats = (waves, lo)
+        else:
+            feats = np.zeros((n, t, d), np.float32)
+            for i in ready:
+                feats[i, :tvalid[i]] = self._pending_feats[i][:tvalid[i]]
         reset = self._reset_mask.copy()
         self._reset_mask[:] = False
         t0 = time.perf_counter()
@@ -236,10 +267,18 @@ class _BatchedStreamEngine:
     def _consume(self, stream: int, t: int) -> np.ndarray:
         """Advance one stream's queue by ``t`` frames; returns the
         consumed frames' global indices."""
+        if self.device_frontend:
+            return self.wave_bufs[stream].consume(t)
         idx = self._pending_idx[stream][:t]
         self._pending_feats[stream] = self._pending_feats[stream][t:]
         self._pending_idx[stream] = self._pending_idx[stream][t:]
         return idx
+
+    def _first_idx(self, stream: int) -> int:
+        """Absolute (pre-skip spliced) index of the next queued frame."""
+        if self.device_frontend:
+            return self.wave_bufs[stream]._next
+        return int(self._pending_idx[stream][0])
 
     # ------------- state -------------
 
@@ -247,7 +286,10 @@ class _BatchedStreamEngine:
         """Free a slot for a new client: clears frontend, queue, decode
         state and (on the next device step) the cache row."""
         self._reset_host_state(stream)
-        self.frontends[stream].reset()
+        if self.device_frontend:
+            self.wave_bufs[stream].reset()
+        else:
+            self.frontends[stream].reset()
         self._pending_feats[stream] = np.zeros((0, self.feat_dim), np.float32)
         self._pending_idx[stream] = np.zeros((0,), np.int64)
         self._reset_mask[stream] = True
@@ -281,6 +323,7 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
         score_beam: int = 3,
         path_beam: int = 20,
         device_decode: bool = False,
+        device_frontend: bool = False,
         max_prefix: int = 32,
         decode_unroll: int = 1,
         mesh=None,
@@ -288,11 +331,18 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
         """mesh: optional 1-D jax.sharding.Mesh — shards the stream
         axis across devices (every op in the serving step is per-row,
         so XLA partitions it without collectives; params replicate).
-        num_streams must divide evenly by the mesh size."""
+        num_streams must divide evenly by the mesh size.
+
+        device_frontend: featurize (fbank + splice + frame-skip) INSIDE
+        the batched dispatch instead of per-stream host numpy —
+        accept_wave becomes a byte append, removing the host frontend
+        cost that scales linearly with stream count (PERF.md r4
+        serving SLOs: 16-24 ms per 64-stream step)."""
         import jax
         import jax.numpy as jnp
 
         self.device_decode = device_decode
+        self.device_frontend = device_frontend
         row_s = rep_s = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -319,7 +369,20 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
             configs, ckpt_path, self.feat_dim
         )
 
+        featurize = None
+        if device_frontend:
+            from wekws_tpu.runtime.device_frontend import (
+                build_batch_featurizer,
+            )
+
+            featurize, _ = build_batch_featurizer(
+                cfg, left, right, downsampling, step_frames
+            )
+
         def step_fn(feats, active, reset, cache):
+            if featurize is not None:
+                feats = featurize(*feats)  # (waves, lo) -> spliced feats
+
             def row_mask(mask, leaf):
                 return mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
 
@@ -336,12 +399,13 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
             )
             return probs, out_cache
 
+        front_s = (row_s, row_s) if device_frontend else row_s
         if mesh is None:
             self._step_jit = jax.jit(step_fn)
         else:
             self._step_jit = jax.jit(
                 step_fn,
-                in_shardings=(row_s, row_s, row_s, row_s),
+                in_shardings=(front_s, row_s, row_s, row_s),
                 out_shardings=(row_s, row_s),
             )
             self._variables = jax.device_put(self._variables, rep_s)
@@ -401,10 +465,10 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
                 self._combined_jit = jax.jit(
                     combined_fn,
                     in_shardings=(
-                        row_s, row_s, row_s,  # feats/active/reset
-                        row_s, row_s,         # t0, lens
-                        row_s, row_s,         # cache, decode state
-                        rep_s, rep_s, rep_s,  # keyword tables
+                        front_s, row_s, row_s,  # feats/active/reset
+                        row_s, row_s,           # t0, lens
+                        row_s, row_s,           # cache, decode state
+                        rep_s, rep_s, rep_s,    # keyword tables
                     ),
                     out_shardings=(row_s, row_s, self._events_s),
                 )
@@ -477,7 +541,7 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
         t0 = np.zeros((n,), np.int32)
         lens = np.zeros((n,), np.int32)
         for i in ready:
-            t0[i] = self._pending_idx[i][0]
+            t0[i] = self._first_idx(i)
             lens[i] = tvalid[i]
         kw_tok, kw_len, mask = self._kw_arrays
         self.cache, self._dstate, packed = self._combined_jit(
@@ -538,11 +602,13 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
         step_frames: int = 8,
         interval_frames: int = 50,
         keyword_names: Optional[List[str]] = None,
+        device_frontend: bool = False,
         mesh=None,
     ):
         import jax
         import jax.numpy as jnp
 
+        self.device_frontend = device_frontend
         row_s = rep_s = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -573,7 +639,20 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
         ]
         assert len(self.keyword_names) == num_keywords
 
+        featurize = None
+        if device_frontend:
+            from wekws_tpu.runtime.device_frontend import (
+                build_batch_featurizer,
+            )
+
+            featurize, _ = build_batch_featurizer(
+                cfg, left, right, downsampling, step_frames
+            )
+
         def step_fn(feats, active, reset, cache):
+            if featurize is not None:
+                feats = featurize(*feats)
+
             def row_mask(mask, leaf):
                 return mask.reshape((-1,) + (1,) * (leaf.ndim - 1))
 
@@ -590,12 +669,13 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
             )
             return probs, out_cache
 
+        front_s = (row_s, row_s) if device_frontend else row_s
         if mesh is None:
             self._step_jit = jax.jit(step_fn)
         else:
             self._step_jit = jax.jit(
                 step_fn,
-                in_shardings=(row_s, row_s, row_s, row_s),
+                in_shardings=(front_s, row_s, row_s, row_s),
                 out_shardings=(row_s, row_s),
             )
             self._variables = jax.device_put(self._variables, rep_s)
