@@ -209,3 +209,23 @@ def test_engine_reset_stream(tmp_path, rng):
     dev_eng.reset_stream(0)
     assert dev_eng.pending_frames(0) == 0
     assert dev_eng.wave_bufs[0]._next == 0
+
+
+def test_buffer_overconsume_is_safe(rng):
+    """Flush-style consume past the buffered data (padded tails): the
+    buffer must stay internally consistent and later windows must not
+    resurrect consumed samples."""
+    cfg = _cfg()
+    buf = WaveStreamBuffer(cfg.frame_shift, cfg.frame_length, 0, 0, 1, 8)
+    buf.append((rng.standard_normal(1000) * 100).astype(np.float32))
+    avail = buf.available_outputs()
+    assert 0 < avail < 8
+    buf.window()
+    buf.consume(8)  # consume the padded tail's full step
+    assert buf.available_outputs() == 0
+    # appending fresh audio keeps absolute alignment monotonic
+    buf.append((rng.standard_normal(16000) * 100).astype(np.float32))
+    assert buf.available_outputs() >= 0
+    w, lo = buf.window()
+    assert w.shape == (buf.window_samples,)
+    assert lo == 0

@@ -394,9 +394,12 @@ class TestMeshShardedServing:
                             round(r["end"], 2)))
         return sorted(out)
 
-    @pytest.mark.parametrize("device_decode", [False, True])
+    @pytest.mark.parametrize(
+        "device_decode,device_frontend",
+        [(False, False), (True, False), (False, True), (True, True)],
+    )
     def test_sharded_matches_single_device(
-        self, spotter_setup, rng, device_decode
+        self, spotter_setup, rng, device_decode, device_frontend
     ):
         import jax
         from jax.sharding import Mesh
@@ -415,7 +418,8 @@ class TestMeshShardedServing:
             eng = BatchKeywordSpotter(
                 ckpt, config, tokens, None, threshold=0.05,
                 num_streams=8, step_frames=8, min_frames=1,
-                device_decode=device_decode, mesh=m,
+                device_decode=device_decode,
+                device_frontend=device_frontend, mesh=m,
             )
             eng.set_keywords("hi,hx")
             return eng
