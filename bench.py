@@ -146,6 +146,38 @@ def bench_epoch(n_devices, mesh):
 
     n_utts = int(os.environ.get("BENCH_EPOCH_UTTS", 8192)) * n_devices
     seconds = float(os.environ.get("BENCH_UTT_SECONDS", 2.0))
+    if os.environ.get("BENCH_DEVICE_AUG"):
+        # full waveform-augmentation chain inside the step
+        # (speed perturb + RIR reverb + SNR noise mixing,
+        # data/device_aug.py) from realistic synthetic banks:
+        # 50 noise clips up to 10 s, 20 RIRs of 0.25 s
+        import jax.numpy as jnp
+
+        from wekws_tpu.data.device_aug import DeviceWaveAug, MatmulFFT
+
+        arng = np.random.default_rng(7)
+        s_in = int(16000 * seconds)
+        out_len = int(np.ceil(s_in / 0.9))
+        n_noise, sn = 50, 160000
+        bank = (arng.standard_normal((n_noise, sn)) * 300).astype(
+            np.float32)
+        nlens = arng.integers(16000, sn, (n_noise,)).astype(np.int32)
+        rirs = arng.standard_normal((20, 4000))
+        rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
+        fft = MatmulFFT.for_length(out_len + 4000 - 1)
+        spec = np.fft.fft(rirs, fft.n, axis=1)
+        pipeline.wave_aug = DeviceWaveAug(
+            speed_perturb=True, speeds=(0.9, 1.0, 1.1),
+            fft=fft,
+            rir_re=jnp.asarray(spec.real.astype(np.float32)),
+            rir_im=jnp.asarray(spec.imag.astype(np.float32)),
+            reverb_prob=0.5,
+            noise_bank=jnp.asarray(bank),
+            noise_lengths=jnp.asarray(nlens),
+            snr_lo=jnp.zeros((n_noise,), np.float32),
+            snr_hi=jnp.full((n_noise,), 15.0, np.float32),
+            noise_prob=0.8, power_scale=1.0 / 32768.0,
+        )
     epochs = int(os.environ.get("BENCH_EPOCH_EPOCHS", 25))
     batch = int(os.environ.get("BENCH_BATCH_PER_CHIP", 512)) * n_devices
     s = int(16000 * seconds)

@@ -245,3 +245,67 @@ def test_batch_stream_kws_cli(workspace):
     )
     assert "served 3 streams" in result.stdout
     assert "x realtime" in result.stdout
+
+
+def test_train_cli_device_resident_with_aug(workspace, tmp_path):
+    """--device_resident with waveform-aug conf keys: the CLI stages
+    the corpus AND the noise/RIR banks and trains with the aug chain
+    inside the jitted step (data/device_aug.py)."""
+    import numpy as np
+
+    from wekws_tpu.data.blobstore import BlobWriter
+    from wekws_tpu.data.audio import write_wav
+
+    tmp = workspace
+    rng = np.random.default_rng(3)
+
+    def wav_bytes(wave):
+        import io
+        import struct
+
+        pcm = np.clip(wave * 32768.0, -32768, 32767).astype("<i2")
+        data = pcm.tobytes()
+        buf = io.BytesIO()
+        buf.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+        buf.write(b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16))
+        buf.write(b"data" + struct.pack("<I", len(data)) + data)
+        return buf.getvalue()
+
+    with BlobWriter(str(tmp_path / "noise_store")) as w:
+        for i in range(3):
+            w.put(f"noise_{i}",
+                  wav_bytes(rng.standard_normal(6000) * 0.01))
+    with BlobWriter(str(tmp_path / "rir_store")) as w:
+        rir = rng.standard_normal(200) * np.exp(
+            -np.arange(200) / 40.0)
+        w.put("rir_0", wav_bytes(rir * 0.1))
+
+    config = yaml.safe_load((tmp / "config.yaml").read_text())
+    config["dataset_conf"].update({
+        "speed_perturb": True,
+        "noise_prob": 0.6,
+        "noise_source": str(tmp_path / "noise_store"),
+        "reverb_prob": 0.4,
+        "reverb_source": str(tmp_path / "rir_store"),
+    })
+    config["training_config"]["max_epoch"] = 1
+    cfg = tmp_path / "config_aug.yaml"
+    cfg.write_text(yaml.dump(config))
+
+    model_dir = tmp_path / "exp_aug"
+    run_cli(
+        "wekws_tpu.bin.train",
+        "--config", str(cfg),
+        "--train_data", str(tmp / "train_int.list"),
+        "--cv_data", str(tmp / "dev_int.list"),
+        "--model_dir", str(model_dir),
+        "--num_keywords", "1",
+        "--min_duration", "5",
+        "--device_resident",
+    )
+    assert (model_dir / "final.ckpt").exists()
+    metrics = [json.loads(x) for x in
+               (model_dir / "metrics.jsonl").read_text().splitlines()]
+    assert any(np.isfinite(m.get("train_loss", np.nan))
+               for m in metrics)

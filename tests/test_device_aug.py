@@ -1,0 +1,208 @@
+"""Device-side waveform augmentation (data/device_aug.py) — math
+parity with the host pipeline stages (data/processor.py, data/audio.py)
+and integration through DeviceFeaturePipeline."""
+
+import io
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wekws_tpu.data import audio
+from wekws_tpu.data.device_aug import (
+    DeviceWaveAug,
+    MatmulFFT,
+    mix_noise_batch,
+    reverb_batch,
+    speed_perturb_batch,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize("speed", [0.9, 1.1])
+def test_speed_perturb_matches_host(rng, speed):
+    s = 4000
+    n = 3517  # valid samples; rest is padding
+    wave = np.zeros((2, s), np.float32)
+    wave[0, :n] = (rng.standard_normal(n) * 1000).astype(np.float32)
+    wave[1, :n] = (rng.standard_normal(n) * 1000).astype(np.float32)
+    lengths = np.full((2,), n, np.int32)
+    # a single-speed tuple removes the per-row randomness
+    out, new_len = speed_perturb_batch(
+        KEY, jnp.asarray(wave), jnp.asarray(lengths), speeds=(speed,))
+    out = np.asarray(out)
+    for b in range(2):
+        host = audio.speed_perturb(wave[b, :n], speed)
+        assert int(new_len[b]) == len(host)
+        # f32 positions vs the host's f64 np.interp: ~3e-4-sample
+        # position error * O(2000/sample) slopes => ~1 LSB-scale diffs
+        np.testing.assert_allclose(
+            out[b, : len(host)], host, atol=2.0)
+        # padding region stays zero
+        assert np.all(out[b, len(host):] == 0.0)
+
+
+def test_matmul_fft_matches_numpy(rng):
+    fft = MatmulFFT(16, 12)
+    x = rng.standard_normal((3, fft.n)) + 1j * rng.standard_normal(
+        (3, fft.n))
+    re, im = fft.fft(jnp.asarray(x.real, jnp.float32),
+                     jnp.asarray(x.imag, jnp.float32))
+    ref = np.fft.fft(x, axis=1)
+    np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(im), ref.imag, atol=1e-3)
+    ire, iim = fft.ifft(re, im)
+    np.testing.assert_allclose(np.asarray(ire), x.real, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(iim), x.imag, atol=1e-4)
+
+
+def _rir_setup(rng, s, r):
+    rir = rng.standard_normal(r).astype(np.float32)
+    rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
+    fft = MatmulFFT.for_length(s + r - 1)
+    spec = np.fft.fft(rir, fft.n)
+    return rir, fft, (jnp.asarray(spec.real[None, :], jnp.float32),
+                      jnp.asarray(spec.imag[None, :], jnp.float32))
+
+
+def test_reverb_matches_host(rng):
+    s, r = 3000, 400
+    wave = (rng.standard_normal(s) * 1000).astype(np.float32)
+    rir, fft, (sre, sim) = _rir_setup(rng, s, r)
+    out = np.asarray(reverb_batch(
+        KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
+        fft, sre, sim, prob=1.0))[0]
+    expected = np.convolve(
+        wave.astype(np.float64), rir.astype(np.float64))[:s]
+    np.testing.assert_allclose(out, expected, atol=0.1)
+
+
+def test_reverb_prob_zero_is_identity(rng):
+    s = 1000
+    wave = (rng.standard_normal(s) * 1000).astype(np.float32)
+    _, fft, (sre, sim) = _rir_setup(rng, s, 100)
+    out = np.asarray(reverb_batch(
+        KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
+        fft, sre, sim, prob=0.0))[0]
+    np.testing.assert_array_equal(out, wave)
+
+
+def _host_noise_mix(wave, noise, snr, scale=1.0 / 32768.0):
+    """The reference's add_noise math (processor.py:163-188) on [-1, 1)
+    scaled copies of int16-scale arrays."""
+    w = wave * scale
+    n = noise * scale
+    audio_db = 10 * np.log10(np.mean(w ** 2) + 1e-4)
+    noise_db = 10 * np.log10(np.mean(n ** 2) + 1e-4)
+    k = np.sqrt(10 ** ((audio_db - noise_db - snr) / 10))
+    return wave + k * noise
+
+
+def test_mix_noise_matches_host_equal_length(rng):
+    s = 2000
+    wave = (rng.standard_normal(s) * 800).astype(np.float32)
+    noise = (rng.standard_normal(s) * 300).astype(np.float32)
+    snr = 7.5
+    out = np.asarray(mix_noise_batch(
+        KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
+        jnp.asarray(noise[None, :]), jnp.asarray([s]),
+        jnp.asarray([snr]), jnp.asarray([snr]),  # collapsed range
+        prob=1.0, power_scale=1.0 / 32768.0))[0]
+    np.testing.assert_allclose(
+        out, _host_noise_mix(wave, noise, snr), rtol=1e-4, atol=0.05)
+
+
+def test_mix_noise_tiles_short_noise(rng):
+    s, sn = 2000, 700
+    wave = (rng.standard_normal(s) * 800).astype(np.float32)
+    noise = (rng.standard_normal(sn) * 300).astype(np.float32)
+    snr = 10.0
+    bank = np.zeros((1, s), np.float32)
+    bank[0, :sn] = noise
+    out = np.asarray(mix_noise_batch(
+        KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
+        jnp.asarray(bank), jnp.asarray([sn]),
+        jnp.asarray([snr]), jnp.asarray([snr]),
+        prob=1.0, power_scale=1.0 / 32768.0))[0]
+    tiled = np.resize(noise, (s,))
+    np.testing.assert_allclose(
+        out, _host_noise_mix(wave, tiled, snr), rtol=1e-4, atol=0.05)
+
+
+def _write_wav_blob(writer, key, wave_f32, sr=16000):
+    buf = io.BytesIO()
+    pcm = np.clip(wave_f32 * 32768.0, -32768, 32767).astype("<i2")
+    import struct
+
+    data = pcm.tobytes()
+    buf.write(b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE")
+    buf.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr,
+                                    sr * 2, 2, 16))
+    buf.write(b"data" + struct.pack("<I", len(data)) + data)
+    writer.put(key, buf.getvalue())
+
+
+def test_from_conf_stages_banks(tmp_path, rng):
+    from wekws_tpu.data.blobstore import BlobWriter
+
+    with BlobWriter(str(tmp_path / "noise_store")) as w:
+        _write_wav_blob(w, "noise_001", rng.standard_normal(1500) * 0.01)
+        _write_wav_blob(w, "music_001", rng.standard_normal(900) * 0.01)
+    with BlobWriter(str(tmp_path / "rir_store")) as w:
+        _write_wav_blob(w, "rir_001", rng.standard_normal(300) * 0.1)
+
+    conf = {
+        "speed_perturb": True,
+        "noise_prob": 0.8, "noise_source": "noise_store",
+        "reverb_prob": 0.5, "reverb_source": "rir_store",
+    }
+    aug = DeviceWaveAug.from_conf(
+        conf, max_wave_samples=2000, data_dir=str(tmp_path))
+    assert aug.noise_bank.shape[0] == 2
+    # per-prefix SNR ranges resolved from the key prefixes
+    np.testing.assert_allclose(np.asarray(aug.snr_lo), [0.0, 5.0])
+    np.testing.assert_allclose(np.asarray(aug.snr_hi), [15.0, 15.0])
+    assert aug.rir_re.shape[0] == 1
+    assert aug.fft.n >= int(np.ceil(2000 / 0.9)) + 300 - 1
+
+    waves = jnp.asarray(
+        (rng.standard_normal((4, 2000)) * 500).astype(np.float32))
+    lengths = jnp.asarray([2000, 1800, 1500, 2000], jnp.int32)
+    out, new_len = aug(KEY, waves, lengths)
+    assert out.shape == (4, int(np.ceil(2000 / 0.9)))
+    ls = np.asarray(lengths, np.float64)
+    nl = np.asarray(new_len, np.float64)
+    assert np.all(nl >= np.floor(ls / 1.1)) and \
+        np.all(nl <= np.floor(ls / 0.9))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_integration(rng):
+    """wave_aug slots into DeviceFeaturePipeline before the fbank and
+    the feature lengths follow the augmented wave lengths."""
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+
+    conf = {
+        "feats_type": "fbank",
+        "fbank_conf": {"num_mel_bins": 23, "frame_shift": 10,
+                       "frame_length": 25, "dither": 0.0},
+    }
+    pipe = DeviceFeaturePipeline.from_conf(conf, training=True)
+    pipe.wave_aug = DeviceWaveAug(
+        speed_perturb=True, speeds=(0.9,),  # deterministic slow-down
+        fft=None, rir_re=None, rir_im=None, reverb_prob=0.0,
+        noise_bank=None, noise_lengths=None, snr_lo=None, snr_hi=None,
+        noise_prob=0.0, power_scale=1.0 / 32768.0,
+    )
+    waves = jnp.asarray(
+        (rng.standard_normal((2, 16000)) * 500).astype(np.float32))
+    lengths = jnp.asarray([16000, 16000], jnp.int32)
+    feats, feat_lengths = jax.jit(pipe)(waves, lengths,
+                                        jax.random.PRNGKey(3))
+    base_frames = (16000 - 400) // 160 + 1
+    slow_frames = (int(16000 / 0.9) - 400) // 160 + 1
+    assert int(feat_lengths[0]) == slow_frames > base_frames
+    assert feats.shape[1] >= slow_frames

@@ -197,3 +197,48 @@ def test_stage_data_list_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="augmentation"):
         stage_data_list(str(lst), aug_conf, split="train", mesh=mesh,
                         rank=0, world_size=1)
+
+
+def test_resident_training_with_device_aug():
+    """Waveform augmentation inside the jitted resident step
+    (data/device_aug.py): speed perturb grows the wave buffer, noise
+    and reverb mix from staged banks, and training still learns."""
+    from wekws_tpu.data.device_aug import DeviceWaveAug
+
+    rng_np = np.random.default_rng(5)
+    noise_bank = (rng_np.standard_normal((3, 2500)) * 200).astype(
+        np.float32)
+    rir = rng_np.standard_normal(200)
+    rir = (rir / np.sqrt(np.sum(rir ** 2))).astype(np.float32)
+    from wekws_tpu.data.device_aug import MatmulFFT
+
+    out_len = int(np.ceil(4000 / 0.9))
+    fft = MatmulFFT.for_length(out_len + len(rir) - 1)
+    spec = np.fft.fft(rir, fft.n)
+    aug = DeviceWaveAug(
+        speed_perturb=True, speeds=(0.9, 1.0, 1.1),
+        fft=fft,
+        rir_re=jnp.asarray(spec.real[None, :], jnp.float32),
+        rir_im=jnp.asarray(spec.imag[None, :], jnp.float32),
+        reverb_prob=0.5,
+        noise_bank=jnp.asarray(noise_bank),
+        noise_lengths=jnp.asarray([2500, 1700, 900], jnp.int32),
+        snr_lo=jnp.asarray([5.0, 5.0, 5.0]),
+        snr_hi=jnp.asarray([15.0, 15.0, 15.0]),
+        noise_prob=0.7, power_scale=1.0 / 32768.0,
+    )
+    mesh = make_mesh()
+    trainer = make_trainer()
+    trainer.pipeline.wave_aug = aug
+    corpus = stage_arrays(synth_arrays(n=32), mesh=mesh)
+    example = {k: np.asarray(v[:8]) for k, v in corpus.arrays.items()}
+    state = trainer.init_state(jax.random.PRNGKey(0), example, mesh)
+    ex = Executor(trainer, mesh, log_interval=10**9)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for epoch in range(8):
+        state, summary = ex.train_resident(
+            state, corpus, rng, 1e-2, epoch, batch_size=8)
+        losses.append(summary["train_loss"])
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

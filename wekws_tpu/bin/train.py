@@ -122,13 +122,29 @@ def main():
         # on an idle device (PERF.md: tunnel H2D anomaly)
         from wekws_tpu.data.resident import stage_data_list
 
+        wants_wave_aug = bool(
+            dataset_conf.get("speed_perturb", False)
+            or dataset_conf.get("noise_prob", 0) > 0
+            or dataset_conf.get("reverb_prob", 0) > 0
+        )
         train_corpus = stage_data_list(
             args.train_data, dataset_conf, tokenizer, split="train",
-            mesh=mesh,
+            mesh=mesh, device_aug=wants_wave_aug,
         )
         cv_corpus = stage_data_list(
             args.cv_data, dataset_conf, tokenizer, split="cv", mesh=mesh,
         )
+        if wants_wave_aug:
+            # waveform augmentation joins the jitted step: banks staged
+            # in HBM once, speed/reverb/noise applied per gathered
+            # batch (data/device_aug.py — host-pipeline math parity)
+            from wekws_tpu.data.device_aug import DeviceWaveAug
+
+            train_pipeline.wave_aug = DeviceWaveAug.from_conf(
+                dataset_conf,
+                max_wave_samples=int(
+                    train_corpus.arrays["waves"].shape[1]),
+            )
     else:
         train_dataset = DataLoader(
             init_dataset(args.train_data, dataset_conf, tokenizer,

@@ -90,6 +90,12 @@ class DeviceFeaturePipeline:
     context_left: int
     context_right: int
     skip_rate: int
+    # optional device-side waveform augmentation (data/device_aug.py:
+    # speed perturb + RIR reverb + noise mixing), applied before the
+    # fbank when an rng is provided.  Attached after construction
+    # (``pipeline.wave_aug = DeviceWaveAug.from_conf(...)``) because
+    # staging the banks needs the blobstore paths and a device.
+    wave_aug: Optional[object] = None
 
     @classmethod
     def from_conf(cls, conf: dict, training: bool = True):
@@ -146,6 +152,10 @@ class DeviceFeaturePipeline:
         dither_rng = aug_rng = None
         if rng is not None:
             dither_rng, aug_rng = jax.random.split(rng)
+        if self.wave_aug is not None and rng is not None:
+            waves, wave_lengths = self.wave_aug(
+                jax.random.fold_in(rng, 0x77), waves, wave_lengths
+            )
         feats, _ = self.extractor(waves, None, rng=dither_rng)
         if self.spec_aug_conf is not None and aug_rng is not None:
             feats = spec_aug(

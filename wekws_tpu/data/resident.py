@@ -155,6 +155,7 @@ def stage_data_list(
     world_size: Optional[int] = None,
     wire_dtype: Optional[str] = None,
     replicate_budget_bytes: int = REPLICATE_BUDGET_BYTES,
+    device_aug: bool = False,
 ) -> ResidentCorpus:
     """Read + decode the corpus once on the host and stage it on device.
 
@@ -167,17 +168,19 @@ def stage_data_list(
     conf = copy.deepcopy(conf)
     if split != "train":
         scrub_conf(conf)
-    if split == "train" and (
+    if split == "train" and not device_aug and (
         conf.get("speed_perturb", False)
         or conf.get("noise_prob", 0) > 0
         or conf.get("reverb_prob", 0) > 0
     ):
         raise ValueError(
             "device-resident mode stages raw waves once; waveform "
-            "augmentation (speed_perturb/noise/reverb) requires the "
-            "streaming host pipeline — drop --device_resident or scrub "
-            "those knobs (feature-space dither/spec_aug still run on "
-            "device)"
+            "augmentation (speed_perturb/noise/reverb) needs either "
+            "the streaming host pipeline (drop --device_resident) or "
+            "the device-side augmentation chain — attach "
+            "data/device_aug.DeviceWaveAug to the train pipeline and "
+            "pass device_aug=True here (bin/train.py does this "
+            "automatically)"
         )
     if rank is None or world_size is None:
         rank = jax.process_index()
