@@ -158,25 +158,27 @@ def bench_epoch(n_devices, mesh):
         arng = np.random.default_rng(7)
         s_in = int(16000 * seconds)
         out_len = int(np.ceil(s_in / 0.9))
-        n_noise, sn = 50, 160000
-        bank = (arng.standard_normal((n_noise, sn)) * 300).astype(
-            np.float32)
-        nlens = arng.integers(16000, sn, (n_noise,)).astype(np.int32)
+        n_rows = 400  # 50 noise clips x 8 crop variants
+        bank = np.zeros((512, out_len), np.float32)
+        bank[:n_rows] = (arng.standard_normal((n_rows, out_len))
+                         * 300).astype(np.float32)
         rirs = arng.standard_normal((20, 4000))
         rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
         fft = MatmulFFT.for_length(out_len + 4000 - 1)
-        spec = np.fft.fft(rirs, fft.n, axis=1)
+        spec = np.zeros((512, fft.n), np.complex64)
+        for i in range(20):
+            spec[i] = fft.spectrum_mat(rirs[i]).reshape(-1)
         pipeline.wave_aug = DeviceWaveAug(
             speed_perturb=True, speeds=(0.9, 1.0, 1.1),
             fft=fft,
             rir_re=jnp.asarray(spec.real.astype(np.float32)),
             rir_im=jnp.asarray(spec.imag.astype(np.float32)),
-            reverb_prob=0.5,
-            noise_bank=jnp.asarray(bank),
-            noise_lengths=jnp.asarray(nlens),
-            snr_lo=jnp.zeros((n_noise,), np.float32),
-            snr_hi=jnp.full((n_noise,), 15.0, np.float32),
-            noise_prob=0.8, power_scale=1.0 / 32768.0,
+            n_rirs=20, reverb_prob=0.5,
+            noise_rows=jnp.asarray(bank),
+            snr_lo=jnp.zeros((512,), np.float32),
+            snr_hi=jnp.full((512,), 15.0, np.float32),
+            n_noise_rows=n_rows, noise_prob=0.8,
+            power_scale=1.0 / 32768.0,
         )
     epochs = int(os.environ.get("BENCH_EPOCH_EPOCHS", 25))
     batch = int(os.environ.get("BENCH_BATCH_PER_CHIP", 512)) * n_devices

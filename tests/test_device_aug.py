@@ -49,23 +49,29 @@ def test_matmul_fft_matches_numpy(rng):
     fft = MatmulFFT(16, 12)
     x = rng.standard_normal((3, fft.n)) + 1j * rng.standard_normal(
         (3, fft.n))
-    re, im = fft.fft(jnp.asarray(x.real, jnp.float32),
-                     jnp.asarray(x.imag, jnp.float32))
-    ref = np.fft.fft(x, axis=1)
+    xm = x.reshape(3, fft.a, fft.b)  # [n1, n2] natural layout
+    re, im = fft.fft_mat(jnp.asarray(xm.real, jnp.float32),
+                         jnp.asarray(xm.imag, jnp.float32))
+    ref = fft.spectrum_mat(x)  # numpy fft in [k1, k2] layout
     np.testing.assert_allclose(np.asarray(re), ref.real, atol=1e-3)
     np.testing.assert_allclose(np.asarray(im), ref.imag, atol=1e-3)
-    ire, iim = fft.ifft(re, im)
-    np.testing.assert_allclose(np.asarray(ire), x.real, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(iim), x.imag, atol=1e-4)
+    ire = fft.ifft_mat_real(re, im)
+    np.testing.assert_allclose(np.asarray(ire), xm.real, atol=1e-4)
+    # real-input fast path (xim=None)
+    re2, im2 = fft.fft_mat(jnp.asarray(xm.real, jnp.float32))
+    ref2 = fft.spectrum_mat(x.real)
+    np.testing.assert_allclose(np.asarray(re2), ref2.real, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(im2), ref2.imag, atol=1e-3)
 
 
-def _rir_setup(rng, s, r):
+def _rir_setup(rng, s, r, pad_rows=4):
     rir = rng.standard_normal(r).astype(np.float32)
     rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
     fft = MatmulFFT.for_length(s + r - 1)
-    spec = np.fft.fft(rir, fft.n)
-    return rir, fft, (jnp.asarray(spec.real[None, :], jnp.float32),
-                      jnp.asarray(spec.imag[None, :], jnp.float32))
+    spec = np.zeros((pad_rows, fft.n), np.complex64)
+    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    return rir, fft, (jnp.asarray(spec.real, jnp.float32),
+                      jnp.asarray(spec.imag, jnp.float32))
 
 
 def test_reverb_matches_host(rng):
@@ -74,7 +80,7 @@ def test_reverb_matches_host(rng):
     rir, fft, (sre, sim) = _rir_setup(rng, s, r)
     out = np.asarray(reverb_batch(
         KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
-        fft, sre, sim, prob=1.0))[0]
+        fft, sre, sim, n_rirs=1, prob=1.0))[0]
     expected = np.convolve(
         wave.astype(np.float64), rir.astype(np.float64))[:s]
     np.testing.assert_allclose(out, expected, atol=0.1)
@@ -86,7 +92,7 @@ def test_reverb_prob_zero_is_identity(rng):
     _, fft, (sre, sim) = _rir_setup(rng, s, 100)
     out = np.asarray(reverb_batch(
         KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
-        fft, sre, sim, prob=0.0))[0]
+        fft, sre, sim, n_rirs=1, prob=0.0))[0]
     np.testing.assert_array_equal(out, wave)
 
 
@@ -106,11 +112,12 @@ def test_mix_noise_matches_host_equal_length(rng):
     wave = (rng.standard_normal(s) * 800).astype(np.float32)
     noise = (rng.standard_normal(s) * 300).astype(np.float32)
     snr = 7.5
+    rows = np.zeros((4, s), np.float32)
+    rows[0] = np.resize(noise, (s,))
     out = np.asarray(mix_noise_batch(
         KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
-        jnp.asarray(noise[None, :]), jnp.asarray([s]),
-        jnp.asarray([snr]), jnp.asarray([snr]),  # collapsed range
-        prob=1.0, power_scale=1.0 / 32768.0))[0]
+        jnp.asarray(rows), jnp.full((4,), snr), jnp.full((4,), snr),
+        n_rows=1, prob=1.0, power_scale=1.0 / 32768.0))[0]
     np.testing.assert_allclose(
         out, _host_noise_mix(wave, noise, snr), rtol=1e-4, atol=0.05)
 
@@ -120,13 +127,12 @@ def test_mix_noise_tiles_short_noise(rng):
     wave = (rng.standard_normal(s) * 800).astype(np.float32)
     noise = (rng.standard_normal(sn) * 300).astype(np.float32)
     snr = 10.0
-    bank = np.zeros((1, s), np.float32)
-    bank[0, :sn] = noise
+    rows = np.zeros((4, s), np.float32)
+    rows[0] = np.resize(noise, (s,))
     out = np.asarray(mix_noise_batch(
         KEY, jnp.asarray(wave[None, :]), jnp.asarray([s]),
-        jnp.asarray(bank), jnp.asarray([sn]),
-        jnp.asarray([snr]), jnp.asarray([snr]),
-        prob=1.0, power_scale=1.0 / 32768.0))[0]
+        jnp.asarray(rows), jnp.full((4,), snr), jnp.full((4,), snr),
+        n_rows=1, prob=1.0, power_scale=1.0 / 32768.0))[0]
     tiled = np.resize(noise, (s,))
     np.testing.assert_allclose(
         out, _host_noise_mix(wave, tiled, snr), rtol=1e-4, atol=0.05)
@@ -161,11 +167,14 @@ def test_from_conf_stages_banks(tmp_path, rng):
     }
     aug = DeviceWaveAug.from_conf(
         conf, max_wave_samples=2000, data_dir=str(tmp_path))
-    assert aug.noise_bank.shape[0] == 2
+    # 2 noise clips x 8 crop variants, zero-padded to 512 rows
+    assert aug.n_noise_rows == 16
+    assert aug.noise_rows.shape[0] == 512
     # per-prefix SNR ranges resolved from the key prefixes
-    np.testing.assert_allclose(np.asarray(aug.snr_lo), [0.0, 5.0])
-    np.testing.assert_allclose(np.asarray(aug.snr_hi), [15.0, 15.0])
-    assert aug.rir_re.shape[0] == 1
+    np.testing.assert_allclose(np.asarray(aug.snr_lo[:16:8]), [0.0, 5.0])
+    np.testing.assert_allclose(np.asarray(aug.snr_hi[:16]),
+                               [15.0] * 16)
+    assert aug.n_rirs == 1 and aug.rir_re.shape[0] == 512
     assert aug.fft.n >= int(np.ceil(2000 / 0.9)) + 300 - 1
 
     waves = jnp.asarray(
@@ -193,8 +202,8 @@ def test_pipeline_integration(rng):
     pipe = DeviceFeaturePipeline.from_conf(conf, training=True)
     pipe.wave_aug = DeviceWaveAug(
         speed_perturb=True, speeds=(0.9,),  # deterministic slow-down
-        fft=None, rir_re=None, rir_im=None, reverb_prob=0.0,
-        noise_bank=None, noise_lengths=None, snr_lo=None, snr_hi=None,
+        fft=None, rir_re=None, rir_im=None, n_rirs=0, reverb_prob=0.0,
+        noise_rows=None, snr_lo=None, snr_hi=None, n_noise_rows=0,
         noise_prob=0.0, power_scale=1.0 / 32768.0,
     )
     waves = jnp.asarray(

@@ -111,7 +111,7 @@ def test_resident_step_parity_with_host_path():
     train_step, _ = make_resident_steps(trainer, mesh, steps_per_epoch=2)
     epoch_idx = np.arange(16, dtype=np.int32).reshape(2, 8)
     s_res, m_res = train_step(
-        state, corpus.arrays, jax.device_put(epoch_idx),
+        state, corpus.arrays, {}, jax.device_put(epoch_idx),
         jnp.zeros((), jnp.int32), rng, jnp.asarray(1e-3, jnp.float32),
     )
     np.testing.assert_allclose(
@@ -214,18 +214,21 @@ def test_resident_training_with_device_aug():
 
     out_len = int(np.ceil(4000 / 0.9))
     fft = MatmulFFT.for_length(out_len + len(rir) - 1)
-    spec = np.fft.fft(rir, fft.n)
+    spec = np.zeros((8, fft.n), np.complex64)
+    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    rows = np.zeros((16, out_len), np.float32)
+    for i in range(3):
+        rows[i] = np.resize(noise_bank[i], (out_len,))
     aug = DeviceWaveAug(
         speed_perturb=True, speeds=(0.9, 1.0, 1.1),
         fft=fft,
-        rir_re=jnp.asarray(spec.real[None, :], jnp.float32),
-        rir_im=jnp.asarray(spec.imag[None, :], jnp.float32),
-        reverb_prob=0.5,
-        noise_bank=jnp.asarray(noise_bank),
-        noise_lengths=jnp.asarray([2500, 1700, 900], jnp.int32),
-        snr_lo=jnp.asarray([5.0, 5.0, 5.0]),
-        snr_hi=jnp.asarray([15.0, 15.0, 15.0]),
-        noise_prob=0.7, power_scale=1.0 / 32768.0,
+        rir_re=jnp.asarray(spec.real, jnp.float32),
+        rir_im=jnp.asarray(spec.imag, jnp.float32),
+        n_rirs=1, reverb_prob=0.5,
+        noise_rows=jnp.asarray(rows),
+        snr_lo=jnp.full((16,), 5.0),
+        snr_hi=jnp.full((16,), 15.0),
+        n_noise_rows=3, noise_prob=0.7, power_scale=1.0 / 32768.0,
     )
     mesh = make_mesh()
     trainer = make_trainer()

@@ -11,34 +11,47 @@ same math batched on device, so augmented corpora can train through
 the device-resident epoch path at device rate with zero steady-state
 host work.
 
+EVERYTHING IS MATMULS, STRIDED SLICES AND ELEMENTWISE — no gathers,
+no transposes.  The first draft used take_along_axis / fancy-indexed
+row picks / a flatten-transpose in the DFT; measured on the real
+chip, those gathers ran at ~100-250 MB/s (three orders of magnitude
+below HBM) and one augmented step cost 834 ms vs 6 ms for the whole
+train step.  The TPU-native formulations (PERF.md r4 'Device-side
+augmentation'):
+
+* speed perturb -> POLYPHASE: for rational speed p/q, q outputs
+  consume p inputs with q fixed fractional phases, so resampling is
+  W strided slices + one (W, q) matmul per speed, and the per-row
+  random speed is a 3-way select;
+* noise/RIR pick -> ONE-HOT MATMUL: onehot(pick) @ bank rides the
+  MXU; the random crop is a scalar-offset lax.dynamic_slice into a
+  pre-tiled bank (one crop offset per STEP, not per row — documented
+  deviation, statistically immaterial for augmentation);
+* DFT -> four-step Cooley-Tukey in a FIXED (a, b) matrix layout for
+  both directions (forward emits [k1, k2], the inverse consumes it),
+  so no flatten-transpose ever materializes.
+
 Math parity with the host stages (pinned in tests/test_device_aug.py):
 
-* speed_perturb: sox 'speed' via linear interpolation —
-  ``out[i] = interp(i * speed)`` clamped at the last valid sample,
-  new length = floor(len / speed) (data/audio.py:58-76).  Per-row
-  speed drawn uniformly from {0.9, 1.0, 1.1}.
-* add_reverb: linear convolution with an L2-normalized RIR, truncated
-  to the input length (processor.py:126-157) — here a four-step
-  matmul DFT (MatmulFFT: jnp.fft is unimplemented on this TPU
-  runtime, and a DFT is MXU matmuls anyway) at a fixed n >= S + R - 1
-  with the RIR spectra precomputed at staging (exact linear conv for
-  any such n).
-* add_noise: additive noise at an SNR drawn from the per-prefix range
-  ({noise: (0,15), speech: (5,30), music: (5,15)}), random crop when
-  the noise is longer than the utterance, tile-from-0 (np.resize)
-  when shorter; powers are means over the valid samples with the
-  reference's +1e-4 floor (processor.py:163-188).  NOTE the floor is
-  scale-dependent: the host mixes [-1, 1) waves, so banks staged from
-  int16-scale sources are normalized back to [-1, 1) here and the mix
-  is rescaled after.
+* speed_perturb: sox 'speed' via linear interpolation, new length =
+  floor(len / speed) (data/audio.py:58-76); polyphase positions are
+  exact rationals vs the host's f64 float positions (<= 1e-11-sample
+  drift over a 2 s utterance).
+* add_reverb: linear convolution with an L2-normalized RIR truncated
+  to the input length (processor.py:126-157), exact for any DFT
+  length n >= S + R - 1.
+* add_noise: SNR drawn from the per-prefix range ({noise: (0,15),
+  speech: (5,30), music: (5,15)}); powers are means over the valid
+  samples with the reference's +1e-4 floor computed at the [-1, 1)
+  scale it was calibrated for (processor.py:163-188).
 
 Randomness: one fold_in'd key per stage per step; picks are uniform
 over the bank (the host's per-epoch store shuffle has no device
-analog — the bank is small and picks are iid, which is statistically
-equivalent for augmentation).
+analog — picks are iid, statistically equivalent for augmentation).
 """
 
 import dataclasses
+from fractions import Fraction
 from typing import Optional, Tuple
 
 import jax
@@ -51,6 +64,52 @@ _DEFAULT_SNR = (0.0, 15.0)
 _INT16 = float(1 << 15)
 
 
+# ---------------------------------------------------------------------------
+# speed perturb: polyphase resampling
+# ---------------------------------------------------------------------------
+
+
+def _polyphase_matrix(speed: float):
+    """(p, q, M (W, q) f32): q output samples per p input samples,
+    out[q*k + r] = sum_w M[w, r] * x[p*k + w] — linear interpolation
+    at the exact rational phases."""
+    frac = Fraction(speed).limit_denominator(100)
+    p, q = frac.numerator, frac.denominator
+    w = p + 2  # base_r + 1 <= p - 1 + 1; +1 margin
+    m = np.zeros((w, q), np.float32)
+    for r in range(q):
+        base, rem = divmod(p * r, q)
+        f = rem / q
+        m[base, r] = 1.0 - f
+        m[base + 1, r] = f
+    return p, q, m
+
+
+def _resample_one(waves: jnp.ndarray, p: int, q: int,
+                  m: np.ndarray, out_len: int) -> jnp.ndarray:
+    """Polyphase resample (B, S) -> (B, out_len) at speed p/q.
+
+    Framing trick: frames[b, k, j] = x[b, p*k + j] for j < p is
+    exactly ``x.reshape(B, blocks, p)``; the two overflow taps
+    (j = p, p+1) are the next block's first two columns — a contiguous
+    block-axis slice.  (The obvious ``x[:, j::p]`` lane-strided slices
+    relayout at ~0.3 GB/s on this backend.)"""
+    b = waves.shape[0]
+    blocks = -(-out_len // q)
+    need = p * (blocks + 1)
+    if waves.shape[1] < need:
+        waves = jnp.pad(waves, ((0, 0), (0, need - waves.shape[1])))
+    r = waves[:, :need].reshape(b, blocks + 1, p)
+    head = r[:, :blocks, :]          # (B, blocks, p): taps 0..p-1
+    nxt = r[:, 1:, :2]               # (B, blocks, 2): taps p, p+1
+    frames = jnp.concatenate([head, nxt], axis=2)
+    out = jnp.einsum(
+        "bkw,wq->bkq", frames, jnp.asarray(m),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(b, blocks * q)
+    return out[:, :out_len]
+
+
 def speed_perturb_batch(
     rng: jax.Array,
     waves: jnp.ndarray,
@@ -58,100 +117,149 @@ def speed_perturb_batch(
     speeds: Tuple[float, ...] = (0.9, 1.0, 1.1),
     out_len: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, S) -> (B, S_out) with per-row random playback speed."""
+    """(B, S) -> (B, S_out) with per-row random playback speed: each
+    rational speed is resampled by polyphase matmul and the row's
+    variant selected — no per-element gather."""
     b, s = waves.shape
     if out_len is None:
         out_len = int(np.ceil(s / min(speeds)))
-    speed = jnp.asarray(speeds, jnp.float32)[
-        jax.random.randint(rng, (b,), 0, len(speeds))
-    ]
+    choice = jax.random.randint(rng, (b,), 0, len(speeds))
+    speed = jnp.asarray(speeds, jnp.float32)[choice]
     new_len = (lengths.astype(jnp.float32) / speed).astype(jnp.int32)
-    pos = jnp.arange(out_len, dtype=jnp.float32)[None, :] * speed[:, None]
-    # np.interp clamps positions past the last sample
-    pos = jnp.minimum(pos, (lengths - 1).astype(jnp.float32)[:, None])
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    frac = pos - i0
-    g0 = jnp.take_along_axis(waves, jnp.clip(i0, 0, s - 1), axis=1)
-    g1 = jnp.take_along_axis(waves, jnp.clip(i0 + 1, 0, s - 1), axis=1)
-    out = g0 * (1.0 - frac) + g1 * frac
+    cands = []
+    for sp in speeds:
+        if sp == 1.0:
+            cand = waves if s >= out_len else jnp.pad(
+                waves, ((0, 0), (0, out_len - s)))
+            cands.append(cand[:, :out_len].astype(jnp.float32))
+        else:
+            p, q, m = _polyphase_matrix(sp)
+            cands.append(_resample_one(
+                waves.astype(jnp.float32), p, q, m, out_len))
+    out = cands[0]
+    for i in range(1, len(speeds)):
+        out = jnp.where((choice == i)[:, None], cands[i], out)
     mask = jnp.arange(out_len)[None, :] < new_len[:, None]
     return out * mask, new_len
 
 
+# ---------------------------------------------------------------------------
+# matmul DFT (transpose-free matrix layout)
+# ---------------------------------------------------------------------------
+
+
 class MatmulFFT:
-    """Two-factor (four-step Cooley-Tukey) DFT as MXU matmuls.
+    """Two-factor (four-step Cooley-Tukey) DFT as MXU matmuls, in a
+    FIXED (a, b) matrix layout for both directions.
 
-    ``jnp.fft`` is UNIMPLEMENTED on some TPU runtimes (measured on
-    this one: the compiled FftOp aborts at execute), and the MXU has
-    no FFT unit anyway — on TPU a DFT *is* matmuls.  For n = a*b with
-    n index n = b*n1 + n2 and k = k1 + a*k2:
+    ``jnp.fft`` is UNIMPLEMENTED on this TPU runtime (the compiled
+    FftOp aborts at execute — measured), and the MXU has no FFT unit
+    anyway: on TPU a DFT *is* matmuls.  For n = a*b, time index
+    n = b*n1 + n2 and frequency index k = k1 + a*k2:
 
-        X[k] = sum_{n2} W_n^{n2*k1} W_b^{n2*k2} sum_{n1} x[n] W_a^{n1*k1}
+        X[k1, k2] = sum_{n2} W_n^{n2 k1} W_b^{n2 k2}
+                    sum_{n1} x[n1, n2] W_a^{n1 k1}
 
-    i.e. a (a x a) matmul over the n1 axis, an (a, b) twiddle, and a
-    (b x b) matmul over n2 — O(n*(a+b)) instead of O(n^2), all in
-    batched 100-300-wide matmuls the MXU likes.  Complex arithmetic is
-    spelled out in real/imag pairs (complex matmul support is as
-    spotty as FFT).  Matmul precision 'high' (bf16_3x) keeps ~1e-5
-    relative error — augmentation-grade."""
+    ``fft_mat`` maps the natural reshape x.reshape(a, b) [n1, n2] to
+    the spectrum matrix [k1, k2]; ``ifft_mat`` inverts it back — the
+    flat frequency order is never materialized, so the convolution
+    pipeline (forward -> pointwise product -> inverse) contains zero
+    transposes.  Complex arithmetic is spelled out in real/imag pairs
+    (complex matmul support is as spotty as FFT).  Matmul precision
+    'high' (bf16_3x) keeps ~1e-5 relative error — augmentation-grade.
+    """
 
     def __init__(self, a: int, b: int):
         self.a, self.b, self.n = a, b, a * b
-        k1 = np.arange(a)
-        n1 = np.arange(a)
-        wa = np.exp(-2j * np.pi * np.outer(k1, n1) / a)
-        k2 = np.arange(b)
-        n2 = np.arange(b)
-        wb = np.exp(-2j * np.pi * np.outer(n2, k2) / b)
-        tw = np.exp(-2j * np.pi * np.outer(k1, n2) / self.n)  # (a, b)
-        self.wa_re = jnp.asarray(wa.real, jnp.float32)
-        self.wa_im = jnp.asarray(wa.imag, jnp.float32)
-        self.wb_re = jnp.asarray(wb.real, jnp.float32)
-        self.wb_im = jnp.asarray(wb.imag, jnp.float32)
-        self.tw_re = jnp.asarray(tw.real, jnp.float32)
-        self.tw_im = jnp.asarray(tw.imag, jnp.float32)
+        wa = np.exp(-2j * np.pi * np.outer(np.arange(a), np.arange(a)) / a)
+        wb = np.exp(-2j * np.pi * np.outer(np.arange(b), np.arange(b)) / b)
+        tw = np.exp(-2j * np.pi
+                    * np.outer(np.arange(a), np.arange(b)) / self.n)
 
-    def _stages(self, xre, xim, wa_re, wa_im, wb_re, wb_im,
-                tw_re, tw_im):
+        def dev(x):
+            return jnp.asarray(x, jnp.float32)
+
+        self.wa_re, self.wa_im = dev(wa.real), dev(wa.imag)
+        self.wb_re, self.wb_im = dev(wb.real), dev(wb.imag)
+        self.tw_re, self.tw_im = dev(tw.real), dev(tw.imag)
+        self.twT_re, self.twT_im = dev(tw.real.T), dev(tw.imag.T)
+        # conjugates for the inverse; identity for the MXU transpose
+        self.wac_re, self.wac_im = dev(wa.real.T), dev(-wa.imag.T)
+        self.wbc_re, self.wbc_im = dev(wb.real), dev(-wb.imag)
+        self.eye_b = dev(np.eye(b))
+
+    @staticmethod
+    def _swap(xre, xim, wre, wim, imag: bool = True):
+        """Contract dim 1 of (B, u, v) against (u, u') -> (B, v, u').
+
+        lax.dot_general with the batch and the free v folded into the
+        M side of the MXU — the einsum formulation ("ij,bjk->bik")
+        lets XLA put the small matrix on M and the batch on N, which
+        this backend executes at ~0.3 TFLOP/s (PERF.md r4).  The
+        output's swapped (v, u') layout is part of the pipeline
+        design, not an accident."""
+        dims = (((1,), (0,)), ((), ()))
         hp = jax.lax.Precision.HIGH
-        bsz = xre.shape[0]
-        x2re = xre.reshape(bsz, self.a, self.b)
-        x2im = xim.reshape(bsz, self.a, self.b)
-        # DFT over n1 (axis 1): T[k1, n2]
-        def m(w, x):
-            return jnp.einsum("ij,bjk->bik", w, x, precision=hp)
 
-        tre = m(wa_re, x2re) - m(wa_im, x2im)
-        tim = m(wa_re, x2im) + m(wa_im, x2re)
-        # twiddle
-        tre, tim = (tre * tw_re - tim * tw_im,
-                    tre * tw_im + tim * tw_re)
-        # DFT over n2 (axis 2): X[k1, k2]
-        def m2(x, w):
-            return jnp.einsum("bik,kl->bil", x, w, precision=hp)
+        def dg(x, w):
+            return jax.lax.dot_general(x, w, dims, precision=hp)
 
-        ore = m2(tre, wb_re) - m2(tim, wb_im)
-        oim = m2(tre, wb_im) + m2(tim, wb_re)
-        # k = k1 + a*k2 -> k2-major flatten
-        ore = ore.transpose(0, 2, 1).reshape(bsz, self.n)
-        oim = oim.transpose(0, 2, 1).reshape(bsz, self.n)
+        ore = dg(xre, wre) - (dg(xim, wim) if xim is not None else 0.0)
+        if not imag:
+            return ore, None
+        oim = dg(xre, wim) + (dg(xim, wre) if xim is not None else 0.0)
         return ore, oim
 
-    def fft(self, xre, xim):
-        return self._stages(xre, xim, self.wa_re, self.wa_im,
-                            self.wb_re, self.wb_im,
-                            self.tw_re, self.tw_im)
+    @staticmethod
+    def _minor(xre, xim, wre, wim):
+        """Contract the minor dim of (B, u, v) against (v, v') ->
+        (B, u, v') — layout-preserving, M = B*u."""
+        hp = jax.lax.Precision.HIGH
 
-    def ifft(self, xre, xim):
-        # ifft(X) = conj(fft(conj(X))) / n
-        re, im = self.fft(xre, -xim)
-        return re / self.n, -im / self.n
+        def m(x, w):
+            return jnp.einsum("buv,vw->buw", x, w, precision=hp)
+
+        return (m(xre, wre) - m(xim, wim), m(xre, wim) + m(xim, wre))
+
+    def fft_mat(self, xre, xim=None):
+        """(B, a, b) [n1, n2] -> (B, a, b) [k1, k2].
+
+        Two swap-stages: contract n1 -> (B, n2, k1), twiddle, contract
+        n2 -> (B, k1, k2).  ``xim=None`` marks a real input (saves two
+        dot_generals in the first stage)."""
+        tre, tim = self._swap(xre, xim, self.wa_re, self.wa_im)
+        tre, tim = (tre * self.twT_re - tim * self.twT_im,
+                    tre * self.twT_im + tim * self.twT_re)
+        return self._swap(tre, tim, self.wb_re, self.wb_im)
+
+    def ifft_mat_real(self, xre, xim):
+        """(B, a, b) [k1, k2] -> (B, a, b) [n1, n2], REAL part only
+        (the convolution consumer).  Minor-contract over k2 (layout
+        preserving), twiddle, swap-contract over k1 -> (B, n2, n1),
+        then one more swap against the identity — an MXU-executed
+        transpose (XLA's transpose op runs at ~6 GB/s here)."""
+        tre, tim = self._minor(xre, xim, self.wbc_re, self.wbc_im)
+        # conjugate twiddle W_N^{+k1 n2}
+        tre, tim = (tre * self.tw_re + tim * self.tw_im,
+                    tim * self.tw_re - tre * self.tw_im)
+        # real part of the k1 contraction only
+        ore, _ = self._swap(tre, None, self.wac_re, None, imag=False)
+        oim, _ = self._swap(tim, None, self.wac_im, None, imag=False)
+        z = (ore - oim) / self.n          # (B, n2, n1)
+        out, _ = self._swap(z, None, self.eye_b, None, imag=False)
+        return out                        # (B, n1, n2)
+
+    def spectrum_mat(self, x: np.ndarray) -> np.ndarray:
+        """Host-side: np.fft.fft(x, n) rearranged to the [k1, k2]
+        matrix layout (k = k1 + a*k2 -> reshape (b, a), swap axes)."""
+        flat = np.fft.fft(x, self.n, axis=-1)
+        return np.swapaxes(
+            flat.reshape(x.shape[:-1] + (self.b, self.a)), -1, -2)
 
     @classmethod
     def for_length(cls, min_n: int) -> "MatmulFFT":
-        """Pick a = 256, b = ceil(min_n / 256): n is a multiple of 256
-        just past the needed length (linear-conv padding absorbs the
-        excess)."""
+        """a = 256, b = ceil(min_n / 256): n is a multiple of 256 just
+        past the needed length (linear-conv padding absorbs it)."""
         a = 256
         return cls(a, -(-min_n // a))
 
@@ -161,72 +269,91 @@ def reverb_batch(
     waves: jnp.ndarray,
     lengths: jnp.ndarray,
     fft: MatmulFFT,
-    rir_re: jnp.ndarray,  # (R, n) full DFT of L2-normalized RIRs
+    rir_re: jnp.ndarray,  # (Rpad, a*b) spectrum rows, zero-padded
     rir_im: jnp.ndarray,
+    n_rirs: int,
     prob: float,
 ) -> jnp.ndarray:
     """Convolve each row with a random RIR with probability ``prob``
-    (linear convolution via the matmul DFT, truncated to the input)."""
+    (linear convolution via the matmul DFT, truncated to the input).
+    The per-row pick is a one-hot matmul over the ZERO-PADDED bank:
+    Rpad >= 512 keeps the contraction dimension out of this backend's
+    small-K matmul pathology (a K=50 pick ran at ~1 GB/s, K=512 at
+    MXU rate — PERF.md r4)."""
     b, s = waves.shape
     k1, k2 = jax.random.split(rng)
-    pick = jax.random.randint(k1, (b,), 0, rir_re.shape[0])
-    pad = jnp.zeros((b, fft.n - s), waves.dtype)
-    wre, wim = fft.fft(jnp.concatenate([waves, pad], axis=1),
-                       jnp.zeros((b, fft.n), jnp.float32))
-    rre, rim = rir_re[pick], rir_im[pick]
+    rpad = rir_re.shape[0]
+    pick = jax.random.randint(k1, (b,), 0, n_rirs)
+    onehot = jax.nn.one_hot(pick, rpad, dtype=jnp.float32)
+    hp = jax.lax.Precision.HIGH
+    rre = jnp.einsum("xr,rs->xs", onehot, rir_re,
+                     precision=hp).reshape(b, fft.a, fft.b)
+    rim = jnp.einsum("xr,rs->xs", onehot, rir_im,
+                     precision=hp).reshape(b, fft.a, fft.b)
+    pad = jnp.zeros((b, fft.n - s), jnp.float32)
+    x = jnp.concatenate(
+        [waves.astype(jnp.float32), pad], axis=1
+    ).reshape(b, fft.a, fft.b)
+    wre, wim = fft.fft_mat(x)
     pre = wre * rre - wim * rim
     pim = wre * rim + wim * rre
-    out, _ = fft.ifft(pre, pim)
-    out = out[:, :s]
+    out = fft.ifft_mat_real(pre, pim).reshape(b, fft.n)[:, :s]
     apply = (jax.random.uniform(k2, (b,)) < prob)[:, None]
     mask = jnp.arange(s)[None, :] < lengths[:, None]
     return jnp.where(apply, out.astype(waves.dtype) * mask, waves)
+
+
+# ---------------------------------------------------------------------------
+# additive noise
+# ---------------------------------------------------------------------------
 
 
 def mix_noise_batch(
     rng: jax.Array,
     waves: jnp.ndarray,
     lengths: jnp.ndarray,
-    noise_bank: jnp.ndarray,     # (N, Sn) float32 in the WAVES' scale
-    noise_lengths: jnp.ndarray,  # (N,)
-    snr_lo: jnp.ndarray,         # (N,) per-noise-key SNR range
+    noise_rows: jnp.ndarray,  # (Npad, >= S): pre-tiled crop variants
+    snr_lo: jnp.ndarray,      # (Npad,) per-row SNR range
     snr_hi: jnp.ndarray,
+    n_rows: int,
     prob: float,
     power_scale: float = 1.0,
 ) -> jnp.ndarray:
     """Additive noise at a per-prefix-range SNR with probability
-    ``prob``.  ``power_scale`` converts the waves' scale to the scale
-    the reference computes powers in (1/2^15 for int16-scale waves:
-    the +1e-4 power floor is calibrated for [-1, 1) audio)."""
+    ``prob``.  The bank rows are staged PRE-TILED at several crop
+    offsets (np.resize semantics per offset), so the random pick over
+    rows covers noise choice AND crop — no dynamic_slice (a lane-dim
+    dynamic_slice runs at ~0.3 GB/s here) and no gather; the pick is
+    a one-hot matmul over the zero-padded (K >= 512) bank.
+    ``power_scale`` converts the waves' scale to the [-1, 1) scale
+    the reference's +1e-4 power floor is calibrated for."""
     b, s = waves.shape
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    pick = jax.random.randint(k1, (b,), 0, noise_bank.shape[0])
-    nlen = noise_lengths[pick]
-    longer = nlen >= lengths
-    max_start = jnp.clip(nlen - lengths, 0, None)
-    start = (jax.random.uniform(k2, (b,))
-             * (max_start + 1).astype(jnp.float32)).astype(jnp.int32)
-    start = jnp.minimum(start, max_start)
+    k1, k3, k4 = jax.random.split(rng, 3)
+    npad = noise_rows.shape[0]
+    pick = jax.random.randint(k1, (b,), 0, n_rows)
+    onehot = jax.nn.one_hot(pick, npad, dtype=jnp.float32)
+    noise = jnp.einsum("bn,ns->bs", onehot, noise_rows[:, :s],
+                       precision=jax.lax.Precision.HIGH)
     cols = jnp.arange(s)[None, :]
-    idx = jnp.where(
-        longer[:, None],
-        jnp.minimum(start[:, None] + cols, noise_bank.shape[1] - 1),
-        cols % jnp.maximum(nlen, 1)[:, None],  # np.resize tiling
-    )
-    noise = jnp.take_along_axis(noise_bank[pick], idx, axis=1)
     mask = (cols < lengths[:, None]).astype(jnp.float32)
     n_valid = jnp.maximum(lengths.astype(jnp.float32), 1.0)
     ps = jnp.float32(power_scale) ** 2
-    audio_pow = jnp.sum(waves * waves * mask, axis=1) / n_valid * ps
+    waves_f = waves.astype(jnp.float32)
+    audio_pow = jnp.sum(waves_f * waves_f * mask, axis=1) / n_valid * ps
     noise_pow = jnp.sum(noise * noise * mask, axis=1) / n_valid * ps
     audio_db = 10.0 * jnp.log10(audio_pow + 1e-4)
     noise_db = 10.0 * jnp.log10(noise_pow + 1e-4)
-    snr = jax.random.uniform(
-        k3, (b,), minval=0.0, maxval=1.0
-    ) * (snr_hi[pick] - snr_lo[pick]) + snr_lo[pick]
+    snr = jax.random.uniform(k3, (b,)) * jnp.einsum(
+        "bn,n->b", onehot, snr_hi - snr_lo) + jnp.einsum(
+        "bn,n->b", onehot, snr_lo)
     scale = jnp.sqrt(10.0 ** ((audio_db - noise_db - snr) / 10.0))
     apply = jax.random.uniform(k4, (b,)) < prob
     return waves + jnp.where(apply, scale, 0.0)[:, None] * noise * mask
+
+
+# ---------------------------------------------------------------------------
+# staged-bank container
+# ---------------------------------------------------------------------------
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: closes over jit
@@ -240,11 +367,12 @@ class DeviceWaveAug:
     fft: Optional[MatmulFFT]
     rir_re: Optional[jnp.ndarray]
     rir_im: Optional[jnp.ndarray]
+    n_rirs: int
     reverb_prob: float
-    noise_bank: Optional[jnp.ndarray]
-    noise_lengths: Optional[jnp.ndarray]
+    noise_rows: Optional[jnp.ndarray]
     snr_lo: Optional[jnp.ndarray]
     snr_hi: Optional[jnp.ndarray]
+    n_noise_rows: int
     noise_prob: float
     power_scale: float
 
@@ -257,26 +385,30 @@ class DeviceWaveAug:
         if self.rir_re is not None and self.reverb_prob > 0:
             waves = reverb_batch(
                 jax.random.fold_in(rng, 2), waves, lengths,
-                self.fft, self.rir_re, self.rir_im, self.reverb_prob,
+                self.fft, self.rir_re, self.rir_im, self.n_rirs,
+                self.reverb_prob,
             )
-        if self.noise_bank is not None and self.noise_prob > 0:
+        if self.noise_rows is not None and self.noise_prob > 0:
             waves = mix_noise_batch(
                 jax.random.fold_in(rng, 3), waves, lengths,
-                self.noise_bank, self.noise_lengths,
-                self.snr_lo, self.snr_hi, self.noise_prob,
-                self.power_scale,
+                self.noise_rows, self.snr_lo, self.snr_hi,
+                self.n_noise_rows, self.noise_prob, self.power_scale,
             )
         return waves, lengths
 
     @classmethod
     def from_conf(cls, conf: dict, max_wave_samples: int,
-                  wave_scale: float = _INT16, data_dir: str = "."):
+                  wave_scale: float = _INT16, data_dir: str = ".",
+                  crop_variants: int = 8, pad_rows: int = 512):
         """Build from a wekws dataset_conf (keys: speed_perturb,
         noise_source/noise_prob, reverb_source/reverb_prob) by staging
         the blobstore banks on device.  ``max_wave_samples`` bounds the
-        post-speed-perturb buffer (sets the reverb DFT length);
-        ``wave_scale`` is the waves' amplitude scale (int16 by
-        default — the resident corpus convention)."""
+        post-speed-perturb buffer (sets the reverb DFT length and the
+        noise row width); each noise clip is staged at
+        ``crop_variants`` evenly-spaced circular crop offsets (the
+        per-row random pick then covers noise AND crop); banks are
+        zero-padded to >= ``pad_rows`` rows so the pick matmuls stay
+        out of the backend's small-K pathology."""
         import os
 
         from wekws_tpu.data import audio
@@ -290,6 +422,7 @@ class DeviceWaveAug:
             if conf.get("speed_perturb", False) else max_wave_samples
 
         fft = rir_re = rir_im = None
+        n_rirs = 0
         if conf.get("reverb_prob", 0) > 0 and conf.get("reverb_source"):
             store = open_store(_resolve(conf["reverb_source"]), seed=0)
             rirs = []
@@ -302,36 +435,49 @@ class DeviceWaveAug:
             if rirs:
                 rmax = max(len(r) for r in rirs)
                 fft = MatmulFFT.for_length(out_len + rmax - 1)
-                spec = np.stack([
-                    np.fft.fft(r, fft.n) for r in rirs
-                ])
+                n_rirs = len(rirs)
+                rpad = max(pad_rows, n_rirs)
+                spec = np.zeros((rpad, fft.n), np.complex64)
+                for i, r in enumerate(rirs):
+                    spec[i] = fft.spectrum_mat(
+                        np.asarray(r)).reshape(-1)
                 rir_re = jnp.asarray(spec.real.astype(np.float32))
                 rir_im = jnp.asarray(spec.imag.astype(np.float32))
 
-        noise_bank = noise_lengths = snr_lo = snr_hi = None
+        noise_rows = snr_lo = snr_hi = None
+        n_noise_rows = 0
         if conf.get("noise_prob", 0) > 0 and conf.get("noise_source"):
             store = open_store(_resolve(conf["noise_source"]), seed=0)
-            waves, lens, los, his = [], [], [], []
+            rows, los, his = [], [], []
             for i in range(len(store)):
                 key, blob = store.get(i)
                 w, _ = audio.read_wav(blob)
+                if not len(w):
+                    continue
                 prefix = str(key).split("/")[-1].split("_")[0]
                 lo, hi = _SNR_RANGES.get(prefix, _DEFAULT_SNR)
-                waves.append(w)
-                lens.append(len(w))
-                los.append(lo)
-                his.append(hi)
-            if waves:
-                smax = max(lens)
-                bank = np.zeros((len(waves), smax), np.float32)
-                for i, w in enumerate(waves):
-                    # blobstore wavs are [-1, 1); banks live in the
-                    # TRAINING waves' scale so mixing is consistent
-                    bank[i, : len(w)] = w * wave_scale
-                noise_bank = jnp.asarray(bank)
-                noise_lengths = jnp.asarray(lens, jnp.int32)
-                snr_lo = jnp.asarray(los, jnp.float32)
-                snr_hi = jnp.asarray(his, jnp.float32)
+                # crop_variants circular offsets of the np.resize
+                # tiling, all in the waves' scale
+                tiled = np.resize(w, (2 * out_len,)) * wave_scale
+                for v in range(crop_variants):
+                    off = (v * len(w)) // crop_variants % max(len(w), 1)
+                    rows.append(np.resize(
+                        np.roll(w, -off), (out_len,)) * wave_scale)
+                    los.append(lo)
+                    his.append(hi)
+                del tiled
+            if rows:
+                n_noise_rows = len(rows)
+                npad = max(pad_rows, n_noise_rows)
+                bank = np.zeros((npad, out_len), np.float32)
+                bank[:n_noise_rows] = np.stack(rows)
+                noise_rows = jnp.asarray(bank)
+                snr_lo = jnp.asarray(
+                    np.pad(np.asarray(los, np.float32),
+                           (0, npad - n_noise_rows)))
+                snr_hi = jnp.asarray(
+                    np.pad(np.asarray(his, np.float32),
+                           (0, npad - n_noise_rows)))
 
         return cls(
             speed_perturb=bool(conf.get("speed_perturb", False)),
@@ -339,11 +485,31 @@ class DeviceWaveAug:
             fft=fft,
             rir_re=rir_re,
             rir_im=rir_im,
+            n_rirs=n_rirs,
             reverb_prob=float(conf.get("reverb_prob", 0.0)),
-            noise_bank=noise_bank,
-            noise_lengths=noise_lengths,
+            noise_rows=noise_rows,
             snr_lo=snr_lo,
             snr_hi=snr_hi,
+            n_noise_rows=n_noise_rows,
             noise_prob=float(conf.get("noise_prob", 0.0)),
             power_scale=1.0 / wave_scale,
         )
+
+    # -- argument threading --------------------------------------------
+    # The banks are far too large to ride into jit as closure
+    # constants (the tunneled compiler rejects >~100 MB programs with
+    # HTTP 413, and constants bloat any backend's compile).  The
+    # resident train step passes them as ARGUMENTS instead:
+    # ``leaves()`` extracts the array dict to pass through jit, and
+    # ``bind(leaves)`` rebuilds an instance around the traced arrays
+    # at trace time (data/resident.py make_resident_steps).
+
+    ARRAY_FIELDS = ("rir_re", "rir_im", "noise_rows", "snr_lo",
+                    "snr_hi")
+
+    def leaves(self):
+        return {k: getattr(self, k) for k in self.ARRAY_FIELDS
+                if getattr(self, k) is not None}
+
+    def bind(self, leaves):
+        return dataclasses.replace(self, **leaves)

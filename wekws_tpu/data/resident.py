@@ -26,10 +26,11 @@ Reference semantics preserved (studied, not copied):
   per step with per-step RNG — resident mode changes WHERE batches
   come from, not the training math.
 
-Waveform-space augmentation (speed perturb, noise/reverb mixing) is
-host-side by nature (sox/scipy, random-length resampling); corpora
-configured with it must use the streaming host pipeline
-(``data/dataset.py`` + shm loader).  ``stage_data_list`` raises on such
+Waveform-space augmentation (speed perturb, noise/reverb mixing) can
+run on device too: attach ``data/device_aug.DeviceWaveAug`` to the
+train pipeline (bin/train.py wires this automatically) and the chain
+joins the same jitted step, with the staged banks threaded through as
+arguments.  Without it, ``stage_data_list`` raises on augmented
 configs rather than silently training un-augmented.
 
 Sharding: on a single process the staged arrays are REPLICATED across
@@ -297,15 +298,28 @@ def make_resident_steps(trainer, mesh, steps_per_epoch: int):
                 batch[k] = jax.lax.with_sharding_constraint(v, shard)
         return batch
 
+    # Device-side waveform augmentation: the banks are too large to
+    # ride into jit as closure constants (HTTP 413 from the tunneled
+    # compiler; constants bloat any backend), so they are threaded as
+    # the ``aug_leaves`` ARGUMENT and bound to the pipeline's
+    # DeviceWaveAug template at trace time (restored right after —
+    # tracing runs the body exactly once per compilation).
+    aug_template = getattr(trainer.pipeline, "wave_aug", None)
+
     @jax.jit
-    def train_step(state, staged, epoch_idx, base, rng, lr):
+    def train_step(state, staged, aug_leaves, epoch_idx, base, rng, lr):
         # base = state.step at epoch start (device scalar): keeps the
         # slot counter aligned when resuming from a checkpoint whose
         # step count is not a multiple of steps_per_epoch
         i = jnp.mod(state.step - base, steps_per_epoch)
         idx = jax.lax.dynamic_index_in_dim(epoch_idx, i, keepdims=False)
         batch = _gather(staged, idx)
-        return trainer._train_step_impl(state, batch, rng, lr)
+        if aug_template is not None:
+            trainer.pipeline.wave_aug = aug_template.bind(aug_leaves)
+        try:
+            return trainer._train_step_impl(state, batch, rng, lr)
+        finally:
+            trainer.pipeline.wave_aug = aug_template
 
     @jax.jit
     def cv_step(state, staged, idx, ok):

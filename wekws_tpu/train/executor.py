@@ -166,9 +166,12 @@ class Executor:
         start = time.time()
         metrics = None
         log_batches = sync and self.log_interval <= steps
+        aug = getattr(self.trainer.pipeline, "wave_aug", None)
+        aug_leaves = aug.leaves() if aug is not None else {}
         for idx in range(steps):
             state, metrics = train_step(
-                state, corpus.arrays, idx_dev, base, rng, lr_dev
+                state, corpus.arrays, aug_leaves, idx_dev, base, rng,
+                lr_dev
             )
             if log_batches and idx % self.log_interval == 0:
                 m = jax.device_get(metrics)
