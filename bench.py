@@ -164,7 +164,19 @@ def bench_epoch(n_devices, mesh):
                          * 300).astype(np.float32)
         rirs = arng.standard_normal((20, 4000))
         rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
-        fft = MatmulFFT.for_length(out_len + 4000 - 1)
+        # r5 production layout: full-utterance DFT + 1-pass bf16
+        # matmuls (49.3k vs 44.6k r4 delivered; the overlap-save
+        # block variant measured 37.6k in-chain — its framing passes
+        # outweigh the smaller pick on this backend, PERF.md r5).
+        # BENCH_AUG_PRECISION=high reproduces the r4 precision;
+        # BENCH_AUG_BLOCKED=1 opts into overlap-save.
+        prec = os.environ.get("BENCH_AUG_PRECISION", "default")
+        if os.environ.get("BENCH_AUG_BLOCKED"):
+            fft = MatmulFFT.for_block(4000, precision=prec)
+            rir_len = 4000
+        else:
+            fft = MatmulFFT.for_length(out_len + 4000 - 1, precision=prec)
+            rir_len = 0
         spec = np.zeros((512, fft.n), np.complex64)
         for i in range(20):
             spec[i] = fft.spectrum_mat(rirs[i]).reshape(-1)
@@ -179,6 +191,7 @@ def bench_epoch(n_devices, mesh):
             snr_hi=jnp.full((512,), 15.0, np.float32),
             n_noise_rows=n_rows, noise_prob=0.8,
             power_scale=1.0 / 32768.0,
+            rir_len=rir_len, precision=prec,
         )
     epochs = int(os.environ.get("BENCH_EPOCH_EPOCHS", 25))
     batch = int(os.environ.get("BENCH_BATCH_PER_CHIP", 512)) * n_devices
@@ -395,6 +408,16 @@ def main():
         "unit": "audio-s/s/chip",
         "vs_baseline": round(vs, 3),
     }
+    # Methodology honesty (r4 verdict): BASELINE.json was recorded at
+    # BENCH_ITERS=30; the 30->100 default change removed ~12% of fixed
+    # loop cost from the denominator era's number.  The adjusted ratio
+    # rescales the baseline to what it would have measured at 100
+    # iters (measured 163.1/148.7 at 60/30 on the same build,
+    # PERF.md r4 'Steady-state amortization') so round-over-round
+    # comparisons stay like-for-like.
+    if baseline and iters >= 100:
+        record["vs_baseline_like_for_like"] = round(
+            value / (baseline * 163.1 / 148.7), 3)
     # MFU/roofline yardstick (VERDICT r3 item 3): XLA cost-model FLOPs
     # and bytes for the exact compiled step, vs chip peak
     if not os.environ.get("BENCH_NO_ROOFLINE"):

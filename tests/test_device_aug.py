@@ -16,10 +16,165 @@ from wekws_tpu.data.device_aug import (
     MatmulFFT,
     mix_noise_batch,
     reverb_batch,
+    reverb_batch_blocked,
     speed_perturb_batch,
 )
 
 KEY = jax.random.PRNGKey(0)
+
+
+def test_speed_perturb_lengths_exact_rational(rng):
+    """Device lengths == host lengths for EVERY input length — both
+    sides now use floor(len * q / p) (exact integers; the old f32 and
+    f64 divisions each drift by 1 near exact multiples, e.g.
+    int(33 / 1.1) == 29 in f64)."""
+    lens = np.arange(1, 4000, 7, dtype=np.int32)
+    waves = np.zeros((len(lens), 4000), np.float32)
+    for speed in (0.9, 1.1):
+        _, new_len = speed_perturb_batch(
+            KEY, jnp.asarray(waves), jnp.asarray(lens), speeds=(speed,))
+        host = [len(audio.speed_perturb(np.zeros(int(n), np.float32),
+                                        speed)) for n in lens]
+        np.testing.assert_array_equal(np.asarray(new_len), host)
+
+
+@pytest.mark.parametrize("s,r", [(3000, 400), (9000, 400), (8192, 1000)])
+def test_reverb_blocked_matches_host(rng, s, r):
+    """Overlap-save (block DFT ~2*rir_len) == full linear convolution,
+    including multi-block framing and the block-boundary history."""
+    wave = (rng.standard_normal((2, s)) * 1000).astype(np.float32)
+    rir = rng.standard_normal(r).astype(np.float32)
+    rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
+    fft = MatmulFFT.for_block(r, target=2048)
+    spec = np.zeros((4, fft.n), np.complex64)
+    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    out = np.asarray(reverb_batch_blocked(
+        KEY, jnp.asarray(wave), jnp.asarray([s, s - 777]),
+        fft, jnp.asarray(spec.real, jnp.float32),
+        jnp.asarray(spec.imag, jnp.float32),
+        n_rirs=1, prob=1.0, rir_len=r))
+    for b in range(2):
+        expected = np.convolve(
+            wave[b].astype(np.float64), rir.astype(np.float64))[:s]
+        n_valid = s if b == 0 else s - 777
+        np.testing.assert_allclose(
+            out[b, :n_valid], expected[:n_valid], atol=0.15)
+        assert np.all(out[b, n_valid:] == 0.0)
+
+
+def test_reverb_blocked_default_precision_bound(rng):
+    """precision='default' (1-pass bf16) stays within ~1e-2 relative
+    of the exact convolution — augmentation-grade (the production
+    setting; 'high' is pinned at 1e-4-grade above)."""
+    s, r = 9000, 700
+    wave = (rng.standard_normal((1, s)) * 1000).astype(np.float32)
+    rir = rng.standard_normal(r).astype(np.float32)
+    rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
+    fft = MatmulFFT.for_block(r, target=2048, precision="default")
+    spec = np.zeros((4, fft.n), np.complex64)
+    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    out = np.asarray(reverb_batch_blocked(
+        KEY, jnp.asarray(wave), jnp.asarray([s]),
+        fft, jnp.asarray(spec.real, jnp.float32),
+        jnp.asarray(spec.imag, jnp.float32),
+        n_rirs=1, prob=1.0, rir_len=r))[0]
+    expected = np.convolve(
+        wave[0].astype(np.float64), rir.astype(np.float64))[:s]
+    err = np.linalg.norm(out - expected) / np.linalg.norm(expected)
+    assert err < 2e-2, err
+
+
+def _small_aug(rng, precision="high", n_noise=3, n_rirs=2,
+               deterministic=False):
+    """Small full-chain aug (blocked reverb) for the mesh tests."""
+    out_len = int(np.ceil(4000 / 0.9))
+    rirs = rng.standard_normal((max(n_rirs, 1), 200)).astype(np.float32)
+    rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
+    fft = MatmulFFT.for_block(200, target=1024, precision=precision)
+    spec = np.zeros((8, fft.n), np.complex64)
+    for i in range(n_rirs):
+        spec[i] = fft.spectrum_mat(rirs[i]).reshape(-1)
+    rows = np.zeros((16, out_len), np.float32)
+    for i in range(n_noise):
+        rows[i] = (rng.standard_normal(out_len) * 200).astype(np.float32)
+    snr = (10.0, 10.0) if deterministic else (5.0, 15.0)
+    return DeviceWaveAug(
+        speed_perturb=True,
+        speeds=(0.9,) if deterministic else (0.9, 1.0, 1.1),
+        fft=fft,
+        rir_re=jnp.asarray(spec.real, jnp.float32),
+        rir_im=jnp.asarray(spec.imag, jnp.float32),
+        n_rirs=n_rirs, reverb_prob=1.0 if deterministic else 0.5,
+        noise_rows=jnp.asarray(rows),
+        snr_lo=jnp.full((16,), snr[0]), snr_hi=jnp.full((16,), snr[1]),
+        n_noise_rows=n_noise, noise_prob=1.0 if deterministic else 0.7,
+        power_scale=1.0 / 32768.0, rir_len=200, precision=precision,
+    )
+
+
+def test_aug_sharded_matches_single_device(rng):
+    """SPMD invariance under the ('data',) mesh: the full chain
+    (polyphase speed + blocked reverb + noise) on a mesh-sharded batch
+    equals the single-device result bit-for-bit with partitionable
+    threefry keys — per-device shards draw exactly their rows' slice
+    of the global randomness (the device-chain analog of the r3
+    rank-aware-seeding fix)."""
+    from wekws_tpu.parallel.mesh import data_sharding, make_mesh
+
+    jax.config.update("jax_threefry_partitionable", True)
+    aug = _small_aug(rng)
+    waves = jnp.asarray(
+        (rng.standard_normal((16, 4000)) * 500).astype(np.float32))
+    lengths = jnp.full((16,), 4000, jnp.int32)
+    key = jax.random.PRNGKey(7)
+    leaves = aug.leaves()
+
+    fn = jax.jit(lambda lv, k, w, ln: aug.bind(lv)(k, w, ln))
+    ref_out, ref_len = jax.device_get(fn(leaves, key, waves, lengths))
+
+    mesh = make_mesh(8)
+    shard = data_sharding(mesh)
+    w_sh = jax.device_put(waves, shard)
+    l_sh = jax.device_put(lengths, shard)
+    out, new_len = jax.device_get(fn(leaves, key, w_sh, l_sh))
+    np.testing.assert_array_equal(new_len, ref_len)
+    np.testing.assert_allclose(out, ref_out, atol=1e-3)
+
+
+def test_aug_rows_decorrelated_across_devices(rng):
+    """Identical input rows spread over all 8 devices receive
+    DIFFERENT augmentation draws (per-row picks/SNRs are functions of
+    the global row index, not replicated per device) — the reference
+    behavior of independent per-rank draws under DDP
+    (processor.py:395-430 + dataset.py:82-97)."""
+    from wekws_tpu.parallel.mesh import data_sharding, make_mesh
+
+    aug = _small_aug(rng)
+    one = (rng.standard_normal(4000) * 500).astype(np.float32)
+    waves = jnp.asarray(np.tile(one, (16, 1)))
+    lengths = jnp.full((16,), 4000, jnp.int32)
+    mesh = make_mesh(8)
+    shard = data_sharding(mesh)
+    out, _ = jax.device_get(jax.jit(
+        lambda lv, k, w, ln: aug.bind(lv)(k, w, ln)
+    )(aug.leaves(), jax.random.PRNGKey(3),
+      jax.device_put(waves, shard), jax.device_put(lengths, shard)))
+    # 16 identical inputs -> the draws must produce >4 distinct outputs
+    distinct = len({out[i].tobytes() for i in range(16)})
+    assert distinct > 4, f"only {distinct} distinct augmented rows"
+
+
+def test_snr_range_prefix_matching():
+    """Reference semantics: key.startswith('noise'/'speech'/'music')
+    (processor.py:404-411) — musan-style keys without underscores
+    resolve to their corpus range, not the default."""
+    from wekws_tpu.data.processor import snr_range_for_key
+
+    assert snr_range_for_key("speech-librivox-0001") == (5, 30)
+    assert snr_range_for_key("music-hd-0042") == (5, 15)
+    assert snr_range_for_key("noise_001") == (0, 15)
+    assert snr_range_for_key("aug/music_007") == (5, 15)
+    assert snr_range_for_key("unknown-key") == (0, 15)
 
 
 @pytest.mark.parametrize("speed", [0.9, 1.1])

@@ -67,7 +67,13 @@ def speed_perturb(
     if speed == 1.0:
         return wave
     if method == "linear":
-        n_out = int(len(wave) / speed)
+        # exact rational length: floor(len * q / p) for speed = p/q.
+        # int(len / speed) in f64 differs by 1 on exact multiples for
+        # speeds like 1.1 (f64 rounding artifact); the rational form is
+        # float-free and matches the device polyphase path exactly
+        # (data/device_aug.speed_perturb_batch).
+        frac = Fraction(speed).limit_denominator(100)
+        n_out = len(wave) * frac.denominator // frac.numerator
         pos = np.arange(n_out, dtype=np.float64) * speed
         return np.interp(pos, np.arange(len(wave)), wave).astype(np.float32)
     frac = Fraction(speed).limit_denominator(100)

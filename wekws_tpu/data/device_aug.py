@@ -29,7 +29,15 @@ augmentation'):
   deviation, statistically immaterial for augmentation);
 * DFT -> four-step Cooley-Tukey in a FIXED (a, b) matrix layout for
   both directions (forward emits [k1, k2], the inverse consumes it),
-  so no flatten-transpose ever materializes.
+  so no flatten-transpose ever materializes;
+* reverb -> OVERLAP-SAVE on a block DFT ~2x the longest RIR (r5):
+  the picked spectrum is RIR-scale instead of utterance-scale, which
+  shrinks the pick matmul and the staged bank ~5x at the flagship
+  shape; block framing is a reshape + one static tail slice;
+* precision "default" (1-pass bf16, f32 accumulation) on every DFT/
+  pick matmul: 3x fewer MXU passes than the r4 "high" (bf16_3x) at
+  ~2e-3 relative error — inaudible under augmentation and
+  convergence-gated A/B vs the host chain (PERF.md r5).
 
 Math parity with the host stages (pinned in tests/test_device_aug.py):
 
@@ -58,10 +66,22 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_SNR_RANGES = {"noise": (0.0, 15.0), "speech": (5.0, 30.0),
-               "music": (5.0, 15.0)}
-_DEFAULT_SNR = (0.0, 15.0)
 _INT16 = float(1 << 15)
+
+# Matmul precision for the DFT stages and the one-hot bank picks.
+# "default" = single-pass bf16 (f32 accumulation): ~2^-9 relative
+# error — augmentation-grade, and 3x fewer MXU passes than "high"
+# (bf16_3x).  Parity tests pin the math at "high"/"highest"; the
+# production chain runs "default" (convergence-gated, PERF.md r5).
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _prec(p):
+    return _PRECISIONS[p] if isinstance(p, str) else p
 
 
 # ---------------------------------------------------------------------------
@@ -124,8 +144,15 @@ def speed_perturb_batch(
     if out_len is None:
         out_len = int(np.ceil(s / min(speeds)))
     choice = jax.random.randint(rng, (b,), 0, len(speeds))
-    speed = jnp.asarray(speeds, jnp.float32)[choice]
-    new_len = (lengths.astype(jnp.float32) / speed).astype(jnp.int32)
+    # exact integer lengths: floor(len * q / p) per rational speed p/q
+    # (f32 division can be off by one near exact multiples); matches
+    # the host's audio.speed_perturb exactly.
+    new_len = lengths
+    for i, sp in enumerate(speeds):
+        frac = Fraction(sp).limit_denominator(100)
+        cl = lengths * frac.denominator // frac.numerator
+        new_len = jnp.where(choice == i, cl, new_len)
+    new_len = new_len.astype(jnp.int32)
     cands = []
     for sp in speeds:
         if sp == 1.0:
@@ -165,12 +192,15 @@ class MatmulFFT:
     flat frequency order is never materialized, so the convolution
     pipeline (forward -> pointwise product -> inverse) contains zero
     transposes.  Complex arithmetic is spelled out in real/imag pairs
-    (complex matmul support is as spotty as FFT).  Matmul precision
-    'high' (bf16_3x) keeps ~1e-5 relative error — augmentation-grade.
+    (complex matmul support is as spotty as FFT).  Matmul precision is
+    per-instance: 'high' (bf16_3x) keeps ~1e-5 relative error (parity
+    tests); 'default' (1-pass bf16) keeps ~2e-3 — augmentation-grade
+    at 3x fewer MXU passes, the production setting.
     """
 
-    def __init__(self, a: int, b: int):
+    def __init__(self, a: int, b: int, precision: str = "high"):
         self.a, self.b, self.n = a, b, a * b
+        self.precision = _prec(precision)
         wa = np.exp(-2j * np.pi * np.outer(np.arange(a), np.arange(a)) / a)
         wb = np.exp(-2j * np.pi * np.outer(np.arange(b), np.arange(b)) / b)
         tw = np.exp(-2j * np.pi
@@ -188,8 +218,7 @@ class MatmulFFT:
         self.wbc_re, self.wbc_im = dev(wb.real), dev(-wb.imag)
         self.eye_b = dev(np.eye(b))
 
-    @staticmethod
-    def _swap(xre, xim, wre, wim, imag: bool = True):
+    def _swap(self, xre, xim, wre, wim, imag: bool = True):
         """Contract dim 1 of (B, u, v) against (u, u') -> (B, v, u').
 
         lax.dot_general with the batch and the free v folded into the
@@ -199,7 +228,7 @@ class MatmulFFT:
         output's swapped (v, u') layout is part of the pipeline
         design, not an accident."""
         dims = (((1,), (0,)), ((), ()))
-        hp = jax.lax.Precision.HIGH
+        hp = self.precision
 
         def dg(x, w):
             return jax.lax.dot_general(x, w, dims, precision=hp)
@@ -210,11 +239,10 @@ class MatmulFFT:
         oim = dg(xre, wim) + (dg(xim, wre) if xim is not None else 0.0)
         return ore, oim
 
-    @staticmethod
-    def _minor(xre, xim, wre, wim):
+    def _minor(self, xre, xim, wre, wim):
         """Contract the minor dim of (B, u, v) against (v, v') ->
         (B, u, v') — layout-preserving, M = B*u."""
-        hp = jax.lax.Precision.HIGH
+        hp = self.precision
 
         def m(x, w):
             return jnp.einsum("buv,vw->buw", x, w, precision=hp)
@@ -257,11 +285,28 @@ class MatmulFFT:
             flat.reshape(x.shape[:-1] + (self.b, self.a)), -1, -2)
 
     @classmethod
-    def for_length(cls, min_n: int) -> "MatmulFFT":
+    def for_length(cls, min_n: int, precision: str = "high") -> "MatmulFFT":
         """a = 256, b = ceil(min_n / 256): n is a multiple of 256 just
         past the needed length (linear-conv padding absorbs it)."""
         a = 256
-        return cls(a, -(-min_n // a))
+        return cls(a, -(-min_n // a), precision)
+
+    @classmethod
+    def for_block(cls, rir_len: int, target: int = 8192,
+                  precision: str = "high") -> "MatmulFFT":
+        """Block DFT for overlap-save convolution with an
+        ``rir_len``-tap filter: n = max(target, 2*rir_len) rounded up
+        to a power of two (so the (a, b) factors stay MXU-friendly),
+        guaranteeing usable block length L = n - rir_len + 1 >= rir_len
+        — each block's history fits in the single previous block.
+        Factors split as evenly as powers of two allow (a >= b)."""
+        n = 1
+        while n < max(target, 2 * rir_len):
+            n *= 2
+        a = 1
+        while a * a < n:
+            a *= 2
+        return cls(a, n // a, precision)
 
 
 def reverb_batch(
@@ -285,7 +330,7 @@ def reverb_batch(
     rpad = rir_re.shape[0]
     pick = jax.random.randint(k1, (b,), 0, n_rirs)
     onehot = jax.nn.one_hot(pick, rpad, dtype=jnp.float32)
-    hp = jax.lax.Precision.HIGH
+    hp = fft.precision
     rre = jnp.einsum("xr,rs->xs", onehot, rir_re,
                      precision=hp).reshape(b, fft.a, fft.b)
     rim = jnp.einsum("xr,rs->xs", onehot, rir_im,
@@ -298,6 +343,79 @@ def reverb_batch(
     pre = wre * rre - wim * rim
     pim = wre * rim + wim * rre
     out = fft.ifft_mat_real(pre, pim).reshape(b, fft.n)[:, :s]
+    apply = (jax.random.uniform(k2, (b,)) < prob)[:, None]
+    mask = jnp.arange(s)[None, :] < lengths[:, None]
+    return jnp.where(apply, out.astype(waves.dtype) * mask, waves)
+
+
+def reverb_batch_blocked(
+    rng: jax.Array,
+    waves: jnp.ndarray,
+    lengths: jnp.ndarray,
+    fft: MatmulFFT,
+    rir_re: jnp.ndarray,  # (Rpad, n_blk) spectra on the BLOCK grid
+    rir_im: jnp.ndarray,
+    n_rirs: int,
+    prob: float,
+    rir_len: int,
+) -> jnp.ndarray:
+    """Overlap-save convolution: same math as ``reverb_batch`` but on
+    a fixed BLOCK DFT of length n_blk = fft.n ~ 2*rir_len instead of
+    one full-utterance DFT.
+
+    Why: the full-length spectra bank is (Rpad, S+R) wide, so the
+    per-row one-hot pick alone costs B x Rpad x (S+R) MACs — at the
+    flagship shape that was ~40% of the whole augmentation chain
+    (PERF.md r5).  On the block grid the picked spectrum is rir_len-
+    scale instead of utterance-scale: the pick shrinks ~5x and the
+    bank ~5x in HBM, while the DFT work stays the same (FFT cost per
+    sample is ~(a+b), and blocking trades a smaller transform for the
+    R-1-sample overlap between blocks).
+
+    Layout: blocks of L = n_blk - rir_len + 1 fresh samples each carry
+    the previous block's rir_len-1 tail (classic overlap-save; block
+    framing is a reshape + one static tail slice — no gathers), the
+    circular-conv wraparound corrupts exactly the first rir_len-1
+    outputs of each block, and the kept L-sample windows tile the
+    output back via one reshape."""
+    b, s = waves.shape
+    n_blk, r = fft.n, rir_len
+    l_use = n_blk - (r - 1)
+    nb = -(-s // l_use)
+    assert nb == 1 or l_use >= r - 1, (
+        f"block {n_blk} too short for rir_len {r}: history spans "
+        "more than one previous block"
+    )
+    k1, k2 = jax.random.split(rng)
+    rpad = rir_re.shape[0]
+    pick = jax.random.randint(k1, (b,), 0, n_rirs)
+    onehot = jax.nn.one_hot(pick, rpad, dtype=jnp.float32)
+    hp = fft.precision
+    rre = jnp.einsum("xr,rs->xs", onehot, rir_re,
+                     precision=hp).reshape(b, 1, fft.a, fft.b)
+    rim = jnp.einsum("xr,rs->xs", onehot, rir_im,
+                     precision=hp).reshape(b, 1, fft.a, fft.b)
+    x = waves.astype(jnp.float32)
+    if nb * l_use > s:
+        x = jnp.pad(x, ((0, 0), (0, nb * l_use - s)))
+    x = x.reshape(b, nb, l_use)
+    # history: last r-1 samples of the previous block (zeros before
+    # block 0) — a static minor-dim slice, not a gather
+    zeros = jnp.zeros((b, 1, r - 1), jnp.float32)
+    if nb > 1:
+        hist = jnp.concatenate(
+            [zeros, x[:, :-1, l_use - (r - 1):]], axis=1)
+    else:
+        hist = zeros
+    blocks = jnp.concatenate([hist, x], axis=2)  # (b, nb, n_blk)
+    xm = blocks.reshape(b * nb, fft.a, fft.b)
+    wre, wim = fft.fft_mat(xm)
+    wre = wre.reshape(b, nb, fft.a, fft.b)
+    wim = wim.reshape(b, nb, fft.a, fft.b)
+    pre = (wre * rre - wim * rim).reshape(b * nb, fft.a, fft.b)
+    pim = (wre * rim + wim * rre).reshape(b * nb, fft.a, fft.b)
+    y = fft.ifft_mat_real(pre, pim).reshape(b, nb, n_blk)
+    out = y[:, :, r - 1:].reshape(b, nb * l_use)[:, :s]
     apply = (jax.random.uniform(k2, (b,)) < prob)[:, None]
     mask = jnp.arange(s)[None, :] < lengths[:, None]
     return jnp.where(apply, out.astype(waves.dtype) * mask, waves)
@@ -318,6 +436,7 @@ def mix_noise_batch(
     n_rows: int,
     prob: float,
     power_scale: float = 1.0,
+    precision: str = "high",
 ) -> jnp.ndarray:
     """Additive noise at a per-prefix-range SNR with probability
     ``prob``.  The bank rows are staged PRE-TILED at several crop
@@ -332,8 +451,9 @@ def mix_noise_batch(
     npad = noise_rows.shape[0]
     pick = jax.random.randint(k1, (b,), 0, n_rows)
     onehot = jax.nn.one_hot(pick, npad, dtype=jnp.float32)
-    noise = jnp.einsum("bn,ns->bs", onehot, noise_rows[:, :s],
-                       precision=jax.lax.Precision.HIGH)
+    noise = jnp.einsum("bn,ns->bs", onehot.astype(noise_rows.dtype),
+                       noise_rows[:, :s],
+                       precision=_prec(precision)).astype(jnp.float32)
     cols = jnp.arange(s)[None, :]
     mask = (cols < lengths[:, None]).astype(jnp.float32)
     n_valid = jnp.maximum(lengths.astype(jnp.float32), 1.0)
@@ -375,6 +495,12 @@ class DeviceWaveAug:
     n_noise_rows: int
     noise_prob: float
     power_scale: float
+    # rir_len > 0: spectra live on the BLOCK grid (fft.n ~ 2*rir_len)
+    # and reverb runs overlap-save; 0: full-utterance DFT (legacy).
+    rir_len: int = 0
+    # matmul precision for the bank picks (the DFT precision is baked
+    # into ``fft``): "default" = 1-pass bf16, the production setting.
+    precision: str = "default"
 
     def __call__(self, rng, waves, lengths):
         waves = waves.astype(jnp.float32)
@@ -383,46 +509,63 @@ class DeviceWaveAug:
                 jax.random.fold_in(rng, 1), waves, lengths, self.speeds
             )
         if self.rir_re is not None and self.reverb_prob > 0:
-            waves = reverb_batch(
-                jax.random.fold_in(rng, 2), waves, lengths,
-                self.fft, self.rir_re, self.rir_im, self.n_rirs,
-                self.reverb_prob,
-            )
+            if self.rir_len > 0:
+                waves = reverb_batch_blocked(
+                    jax.random.fold_in(rng, 2), waves, lengths,
+                    self.fft, self.rir_re, self.rir_im, self.n_rirs,
+                    self.reverb_prob, self.rir_len,
+                )
+            else:
+                waves = reverb_batch(
+                    jax.random.fold_in(rng, 2), waves, lengths,
+                    self.fft, self.rir_re, self.rir_im, self.n_rirs,
+                    self.reverb_prob,
+                )
         if self.noise_rows is not None and self.noise_prob > 0:
             waves = mix_noise_batch(
                 jax.random.fold_in(rng, 3), waves, lengths,
                 self.noise_rows, self.snr_lo, self.snr_hi,
                 self.n_noise_rows, self.noise_prob, self.power_scale,
+                precision=self.precision,
             )
         return waves, lengths
 
     @classmethod
     def from_conf(cls, conf: dict, max_wave_samples: int,
                   wave_scale: float = _INT16, data_dir: str = ".",
-                  crop_variants: int = 8, pad_rows: int = 512):
+                  crop_variants: int = 8, pad_rows: int = 512,
+                  precision: Optional[str] = None):
         """Build from a wekws dataset_conf (keys: speed_perturb,
         noise_source/noise_prob, reverb_source/reverb_prob) by staging
         the blobstore banks on device.  ``max_wave_samples`` bounds the
-        post-speed-perturb buffer (sets the reverb DFT length and the
-        noise row width); each noise clip is staged at
+        post-speed-perturb buffer (sets the noise row width); RIR
+        spectra are staged on a BLOCK DFT grid (~2x the longest RIR)
+        for overlap-save convolution; each noise clip is staged at
         ``crop_variants`` evenly-spaced circular crop offsets (the
         per-row random pick then covers noise AND crop); banks are
         zero-padded to >= ``pad_rows`` rows so the pick matmuls stay
-        out of the backend's small-K pathology."""
+        out of the backend's small-K pathology.  ``precision`` (also
+        conf key "device_aug_precision") sets the DFT/pick matmul
+        precision — "default" (1-pass bf16) is the production setting,
+        convergence-gated vs the host chain (PERF.md r5)."""
         import os
 
         from wekws_tpu.data import audio
         from wekws_tpu.data.blobstore import open_store
+        from wekws_tpu.data.processor import snr_range_for_key
 
         def _resolve(p):
             return p if os.path.isabs(p) else os.path.join(data_dir, p)
 
+        if precision is None:
+            precision = conf.get("device_aug_precision", "default")
         speeds = (0.9, 1.0, 1.1)
         out_len = int(np.ceil(max_wave_samples / min(speeds))) \
             if conf.get("speed_perturb", False) else max_wave_samples
 
         fft = rir_re = rir_im = None
         n_rirs = 0
+        rmax = 0
         if conf.get("reverb_prob", 0) > 0 and conf.get("reverb_source"):
             store = open_store(_resolve(conf["reverb_source"]), seed=0)
             rirs = []
@@ -434,7 +577,22 @@ class DeviceWaveAug:
                     rirs.append(rir / norm)
             if rirs:
                 rmax = max(len(r) for r in rirs)
-                fft = MatmulFFT.for_length(out_len + rmax - 1)
+                # Full-utterance DFT is the measured default on this
+                # backend: overlap-save shrinks the spectra pick ~5x
+                # but its block framing adds elementwise passes over
+                # the (B, nb, n_blk) buffers that cost more than the
+                # pick saves (in-chain: 49.3k vs 37.6k audio-s/s,
+                # PERF.md r5).  conf key "reverb_block_dft": true
+                # opts into overlap-save (wins when RIRs are short
+                # relative to utterances AND elementwise bandwidth is
+                # healthy).
+                full_n = out_len + rmax - 1
+                fft = MatmulFFT.for_block(rmax, precision=precision)
+                if (not conf.get("reverb_block_dft", False)
+                        or fft.n >= -(-full_n // 256) * 256):
+                    fft = MatmulFFT.for_length(full_n,
+                                               precision=precision)
+                    rmax = 0  # rir_len=0 -> full-length path
                 n_rirs = len(rirs)
                 rpad = max(pad_rows, n_rirs)
                 spec = np.zeros((rpad, fft.n), np.complex64)
@@ -454,18 +612,15 @@ class DeviceWaveAug:
                 w, _ = audio.read_wav(blob)
                 if not len(w):
                     continue
-                prefix = str(key).split("/")[-1].split("_")[0]
-                lo, hi = _SNR_RANGES.get(prefix, _DEFAULT_SNR)
+                lo, hi = snr_range_for_key(key)
                 # crop_variants circular offsets of the np.resize
                 # tiling, all in the waves' scale
-                tiled = np.resize(w, (2 * out_len,)) * wave_scale
                 for v in range(crop_variants):
-                    off = (v * len(w)) // crop_variants % max(len(w), 1)
+                    off = (v * len(w)) // crop_variants
                     rows.append(np.resize(
                         np.roll(w, -off), (out_len,)) * wave_scale)
                     los.append(lo)
                     his.append(hi)
-                del tiled
             if rows:
                 n_noise_rows = len(rows)
                 npad = max(pad_rows, n_noise_rows)
@@ -493,6 +648,8 @@ class DeviceWaveAug:
             n_noise_rows=n_noise_rows,
             noise_prob=float(conf.get("noise_prob", 0.0)),
             power_scale=1.0 / wave_scale,
+            rir_len=rmax,
+            precision=precision,
         )
 
     # -- argument threading --------------------------------------------

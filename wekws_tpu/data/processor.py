@@ -160,6 +160,20 @@ def add_reverb(
 _SNR_RANGES = {"noise": (0, 15), "speech": (5, 30), "music": (5, 15)}
 
 
+def snr_range_for_key(key: str) -> tuple:
+    """Per-corpus SNR range from the noise key, reference semantics:
+    ``key.startswith('noise'|'speech'|'music')`` (processor.py:404-411),
+    so musan-style keys without underscores ('speech-librivox-0001')
+    resolve correctly.  Checked on the raw key AND its basename (our
+    blobstore keys may carry a path prefix the reference's lmdb keys
+    don't)."""
+    base = str(key).split("/")[-1]
+    for prefix, rng in _SNR_RANGES.items():
+        if base.startswith(prefix):
+            return rng
+    return (0, 15)
+
+
 def add_noise(
     data: Iterable[dict], noise_source: BlobData, aug_prob: float
 ) -> Iterator[dict]:
@@ -171,8 +185,7 @@ def add_noise(
             wave = sample["wav"]
             n = len(wave)
             key, noise_bytes = noise_source.random_one()
-            prefix = str(key).split("/")[-1].split("_")[0]
-            lo, hi = _SNR_RANGES.get(prefix, (0, 15))
+            lo, hi = snr_range_for_key(key)
             noise = cache.get(key, lambda: audio.read_wav(noise_bytes)[0])
             if len(noise) > n:
                 start = random.randint(0, len(noise) - n)

@@ -308,6 +308,14 @@ def make_resident_steps(trainer, mesh, steps_per_epoch: int):
 
     @jax.jit
     def train_step(state, staged, aug_leaves, epoch_idx, base, rng, lr):
+        if aug_leaves and aug_template is None:
+            raise ValueError(
+                "aug_leaves passed but the pipeline had no wave_aug "
+                "when this step was traced — the cached step would "
+                "silently train un-augmented (Executor keys its cache "
+                "on the wave_aug identity; direct callers must rebuild "
+                "the steps after attaching wave_aug)"
+            )
         # base = state.step at epoch start (device scalar): keeps the
         # slot counter aligned when resuming from a checkpoint whose
         # step count is not a multiple of steps_per_epoch

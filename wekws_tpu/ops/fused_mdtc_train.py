@@ -365,8 +365,10 @@ def _pick_block(b: int, cap: int = 16) -> int:
     scoped-VMEM stack limit on v5e: the padded-input scratch plus the
     kernel's f32 temporaries cost ~300 KB/row at the flagship
     (T=198, C=64) shape, so 64 rows already OOMs the Mosaic compile
-    (measured: 19.05M > 16M at bt=64, 38.32M at bt=128); 32 rows
-    compiles in seconds and keeps every pass VMEM-resident."""
+    (measured: 19.05M > 16M at bt=64, 38.32M at bt=128).  The chosen
+    caps: 16 rows forward (this default) and 8 backward — the
+    backward's 4 row-block inputs + ~8 f32 temporaries halve the
+    budget again (see _block_bwd callers)."""
     blk = min(b, cap)
     while b % blk:
         blk -= 1

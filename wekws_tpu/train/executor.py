@@ -113,17 +113,24 @@ class Executor:
     # ---------------- device-resident epoch mode ----------------
 
     def _resident_steps(self, steps_per_epoch: int):
-        """Jitted resident train/cv steps, cached per epoch length."""
+        """Jitted resident train/cv steps, cached per epoch length AND
+        per wave_aug identity: the step closes over the pipeline's
+        DeviceWaveAug template at trace time (static fields bake into
+        the trace), so attaching/replacing wave_aug after a first
+        train_resident call must invalidate the cached step — a cache
+        hit would silently train with the old (or no) augmentation."""
+        aug = getattr(self.trainer.pipeline, "wave_aug", None)
+        key = (steps_per_epoch, id(aug) if aug is not None else None)
         cache = getattr(self, "_resident_cache", None)
         if cache is None:
             cache = self._resident_cache = {}
-        if steps_per_epoch not in cache:
+        if key not in cache:
             from wekws_tpu.data.resident import make_resident_steps
 
-            cache[steps_per_epoch] = make_resident_steps(
+            cache[key] = make_resident_steps(
                 self.trainer, self.mesh, steps_per_epoch
             )
-        return cache[steps_per_epoch]
+        return cache[key]
 
     def train_resident(
         self, state, corpus, rng: jax.Array, lr: float, epoch: int,
