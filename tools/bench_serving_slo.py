@@ -150,9 +150,9 @@ def bench_detection(args):
         tones[k] = float(v)
     rng = np.random.default_rng(7)
     chunk_bytes = int(SR * args.chunk_ms / 1000) * 2
-    latencies, misses = [], 0
+    latencies, misses, diags = [], 0, []
     resolution_ms = spotter.resolution * 1000.0
-    for _ in range(args.utts):
+    for utt in range(args.utts):
         wave, kw_end = synth_keyword_utt(
             rng, tones, args.keyword,
             lead_s=0.5 + 1.5 * rng.random(), total_s=4.0,
@@ -166,7 +166,18 @@ def bench_detection(args):
                 act_ms = (
                     spotter.detector.activation_frame * resolution_ms
                 )
-                latencies.append(act_ms - kw_end / SR * 1000.0)
+                lat = act_ms - kw_end / SR * 1000.0
+                latencies.append(lat)
+                # tail attribution: which token-node frames the
+                # winning hypothesis carries (audio-domain — the tail
+                # is posterior timing, not service time)
+                diags.append({
+                    "utt": utt, "latency_ms": round(lat, 1),
+                    "latency_frames": round(lat / resolution_ms, 2),
+                    "kw_end_ms": round(kw_end / SR * 1000.0, 1),
+                    "act_frame": int(spotter.detector.activation_frame),
+                    "hit_score": round(float(r.get("score", 0.0)), 4),
+                })
                 detected = True
                 break
         if not detected:
@@ -185,8 +196,13 @@ def bench_detection(args):
             "p99_ms": round(pct(latencies, 99), 1),
             "min_ms": round(min(latencies), 1),
             "max_ms": round(max(latencies), 1),
+            "resolution_ms": round(resolution_ms, 1),
         })
     print(json.dumps(out), flush=True)
+    if args.dump_tail and diags:
+        for d in sorted(diags, key=lambda d: -d["latency_ms"])[
+                :args.dump_tail]:
+            print(json.dumps({"tail": d}), flush=True)
 
 
 def main():
@@ -209,6 +225,8 @@ def main():
     ap.add_argument("--utts", type=int, default=50)
     ap.add_argument("--device_decode", action="store_true")
     ap.add_argument("--device_frontend", action="store_true")
+    ap.add_argument("--dump_tail", type=int, default=0,
+                    help="print the N worst detection-latency utterances")
     ap.add_argument(
         "--tones", default="1:500,2:800,3:1150,4:1500",
         help="token:frequency map for keyword synthesis (detection "

@@ -26,7 +26,8 @@ sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_aug(precision: str, blocked: bool, stages=("s", "r", "n")):
+def build_aug(precision: str, blocked: bool, stages=("s", "r", "n"),
+              speed_method: str = "matmul", fft_dims=None):
     import jax.numpy as jnp
 
     from wekws_tpu.data.device_aug import DeviceWaveAug, MatmulFFT
@@ -43,6 +44,10 @@ def build_aug(precision: str, blocked: bool, stages=("s", "r", "n")):
     if blocked:
         fft = MatmulFFT.for_block(4000, precision=precision)
         rir_len = 4000
+    elif fft_dims is not None:
+        fft = MatmulFFT(*fft_dims, precision=precision)
+        assert fft.n >= out_len + 4000 - 1, (fft.n, out_len)
+        rir_len = 0
     else:
         fft = MatmulFFT.for_length(out_len + 4000 - 1, precision=precision)
         rir_len = 0
@@ -61,6 +66,7 @@ def build_aug(precision: str, blocked: bool, stages=("s", "r", "n")):
         n_noise_rows=n_rows, noise_prob=0.8 if "n" in stages else 0.0,
         power_scale=1.0 / 32768.0,
         rir_len=rir_len, precision=precision,
+        speed_method=speed_method,
     )
 
 
@@ -102,17 +108,38 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     only = os.environ.get("PROBE_ONLY", "")
-    variants = [
-        ("full-DFT  precision=high   (r4 shipped)", "high", False),
-        ("full-DFT  precision=default", "default", False),
-        ("blocked   precision=high", "high", True),
-        ("blocked   precision=default (r5 candidate)", "default", True),
-    ]
-    for name, prec, blocked in variants:
+    suite = os.environ.get("PROBE_SUITE", "layout")
+    if suite == "precision":  # the r5 first-pass sweep
+        variants = [
+            ("full-DFT  precision=high   (r4 shipped)",
+             dict(precision="high", blocked=False)),
+            ("full-DFT  precision=default",
+             dict(precision="default", blocked=False)),
+            ("blocked   precision=high",
+             dict(precision="high", blocked=True)),
+            ("blocked   precision=default",
+             dict(precision="default", blocked=True)),
+        ]
+    else:  # layout sweep: speed-conv + 128-aligned DFT factors
+        variants = [
+            ("full 256x155 speed=matmul (r5 baseline)",
+             dict(precision="default", blocked=False,
+                  speed_method="matmul")),
+            ("full 256x155 speed=conv",
+             dict(precision="default", blocked=False,
+                  speed_method="conv")),
+            ("full 320x128 speed=conv",
+             dict(precision="default", blocked=False,
+                  speed_method="conv", fft_dims=(320, 128))),
+            ("full 256x256 speed=conv",
+             dict(precision="default", blocked=False,
+                  speed_method="conv", fft_dims=(256, 256))),
+        ]
+    for name, kw in variants:
         if only and only not in name:
             continue
-        time_aug(name, build_aug(prec, blocked))
-    if not only:
+        time_aug(name, build_aug(**kw))
+    if not only and suite == "precision":
         for stages, label in [(("s",), "speed only"),
                               (("r",), "reverb only (blocked/default)"),
                               (("n",), "noise only (default)")]:

@@ -106,16 +106,35 @@ def _polyphase_matrix(speed: float):
 
 
 def _resample_one(waves: jnp.ndarray, p: int, q: int,
-                  m: np.ndarray, out_len: int) -> jnp.ndarray:
+                  m: np.ndarray, out_len: int,
+                  method: str = "conv") -> jnp.ndarray:
     """Polyphase resample (B, S) -> (B, out_len) at speed p/q.
 
-    Framing trick: frames[b, k, j] = x[b, p*k + j] for j < p is
-    exactly ``x.reshape(B, blocks, p)``; the two overflow taps
-    (j = p, p+1) are the next block's first two columns — a contiguous
-    block-axis slice.  (The obvious ``x[:, j::p]`` lane-strided slices
-    relayout at ~0.3 GB/s on this backend.)"""
+    ``conv`` (default): ONE ``lax.conv_general_dilated`` in NWC layout
+    with window = the (p+2, q) interpolation matrix and stride p — the
+    framing never materializes, so the whole stage is a single op
+    (the r4 ``matmul`` framing spent ~3 ms/step in pad/reshape/concat
+    layout copies at the flagship shape — measured r5 device trace).
+
+    ``matmul``: frames[b, k, j] = x[b, p*k + j] for j < p is exactly
+    ``x.reshape(B, blocks, p)``; the two overflow taps (j = p, p+1)
+    are the next block's first two columns — a contiguous block-axis
+    slice.  (The obvious ``x[:, j::p]`` lane-strided slices relayout
+    at ~0.3 GB/s on this backend.)"""
     b = waves.shape[0]
     blocks = -(-out_len // q)
+    if method == "conv":
+        need = p * blocks + 2
+        if waves.shape[1] < need:
+            waves = jnp.pad(waves, ((0, 0), (0, need - waves.shape[1])))
+        out = jax.lax.conv_general_dilated(
+            waves[:, :need, None],            # (B, S', 1)  NWC
+            jnp.asarray(m)[:, None, :],       # (p+2, 1, q) WIO
+            window_strides=(p,), padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(b, blocks * q)
+        return out[:, :out_len]
     need = p * (blocks + 1)
     if waves.shape[1] < need:
         waves = jnp.pad(waves, ((0, 0), (0, need - waves.shape[1])))
@@ -136,6 +155,7 @@ def speed_perturb_batch(
     lengths: jnp.ndarray,
     speeds: Tuple[float, ...] = (0.9, 1.0, 1.1),
     out_len: Optional[int] = None,
+    method: str = "conv",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, S) -> (B, S_out) with per-row random playback speed: each
     rational speed is resampled by polyphase matmul and the row's
@@ -162,7 +182,7 @@ def speed_perturb_batch(
         else:
             p, q, m = _polyphase_matrix(sp)
             cands.append(_resample_one(
-                waves.astype(jnp.float32), p, q, m, out_len))
+                waves.astype(jnp.float32), p, q, m, out_len, method))
     out = cands[0]
     for i in range(1, len(speeds)):
         out = jnp.where((choice == i)[:, None], cands[i], out)
@@ -286,10 +306,23 @@ class MatmulFFT:
 
     @classmethod
     def for_length(cls, min_n: int, precision: str = "high") -> "MatmulFFT":
-        """a = 256, b = ceil(min_n / 256): n is a multiple of 256 just
-        past the needed length (linear-conv padding absorbs it)."""
-        a = 256
-        return cls(a, -(-min_n // a), precision)
+        """Smallest n = a*b >= min_n, preferring LANE-ALIGNED factors
+        (both multiples of 128) when that costs <= 25% extra length:
+        a non-128-multiple minor dim makes every (B, a, b) reshape in
+        the pipeline a real layout copy on TPU (measured r5: the
+        256x155 grid spent ~1 ms/step in reshape/pad copies at the
+        flagship shape; 320x128 removes them).  Falls back to
+        a=256 x ceil(min_n/256) for short grids (tests, short
+        utterances) where alignment would balloon n."""
+        best = None
+        for a in (256, 320, 384, 512):
+            b = 128 * -(-min_n // (a * 128))
+            if best is None or a * b < best[0] * best[1]:
+                best = (a, b)
+        unaligned = (256, -(-min_n // 256))
+        if best[0] * best[1] <= 1.25 * unaligned[0] * unaligned[1]:
+            return cls(best[0], best[1], precision)
+        return cls(unaligned[0], unaligned[1], precision)
 
     @classmethod
     def for_block(cls, rir_len: int, target: int = 8192,
@@ -501,12 +534,15 @@ class DeviceWaveAug:
     # matmul precision for the bank picks (the DFT precision is baked
     # into ``fft``): "default" = 1-pass bf16, the production setting.
     precision: str = "default"
+    # "conv" (one strided NWC conv) or "matmul" (framing + einsum)
+    speed_method: str = "conv"
 
     def __call__(self, rng, waves, lengths):
         waves = waves.astype(jnp.float32)
         if self.speed_perturb:
             waves, lengths = speed_perturb_batch(
-                jax.random.fold_in(rng, 1), waves, lengths, self.speeds
+                jax.random.fold_in(rng, 1), waves, lengths, self.speeds,
+                method=self.speed_method,
             )
         if self.rir_re is not None and self.reverb_prob > 0:
             if self.rir_len > 0:
