@@ -177,9 +177,9 @@ def bench_epoch(n_devices, mesh):
         else:
             fft = MatmulFFT.for_length(out_len + 4000 - 1, precision=prec)
             rir_len = 0
-        spec = np.zeros((512, fft.n), np.complex64)
+        spec = np.zeros((512, fft.nh), np.complex64)
         for i in range(20):
-            spec[i] = fft.spectrum_mat(rirs[i]).reshape(-1)
+            spec[i] = fft.spectrum_mat_half(rirs[i]).reshape(-1)
         pipeline.wave_aug = DeviceWaveAug(
             speed_perturb=True, speeds=(0.9, 1.0, 1.1),
             fft=fft,

@@ -38,6 +38,31 @@ def test_speed_perturb_lengths_exact_rational(rng):
         np.testing.assert_array_equal(np.asarray(new_len), host)
 
 
+def test_speed_perturb_group_matches_host(rng):
+    """Group-partitioned speed: each contiguous row group resamples at
+    exactly its speed, waveform-identical to the host resampler, with
+    exact rational lengths and zeroed padding."""
+    from wekws_tpu.data.device_aug import speed_perturb_group
+
+    b, s = 7, 3000
+    waves = (rng.standard_normal((b, s)) * 800).astype(np.float32)
+    lengths = np.asarray([s, s - 100, s, s - 3, s, s, s - 50], np.int32)
+    for i in range(b):
+        waves[i, lengths[i]:] = 0.0
+    speeds = (0.9, 1.0, 1.1)
+    out, new_len = speed_perturb_group(
+        jnp.asarray(waves), jnp.asarray(lengths), speeds)
+    out = np.asarray(out)
+    # groups (remainder rows go to the early groups): rows 0-2 -> 0.9,
+    # rows 3-4 -> 1.0, rows 5-6 -> 1.1
+    assign = [0.9] * 3 + [1.0] * 2 + [1.1] * 2
+    for i, sp in enumerate(assign):
+        host = audio.speed_perturb(waves[i, :lengths[i]], sp)
+        assert int(new_len[i]) == len(host)
+        np.testing.assert_allclose(out[i, :len(host)], host, atol=2.0)
+        assert np.all(out[i, len(host):] == 0.0)
+
+
 @pytest.mark.parametrize("s,r", [(3000, 400), (9000, 400), (8192, 1000)])
 def test_reverb_blocked_matches_host(rng, s, r):
     """Overlap-save (block DFT ~2*rir_len) == full linear convolution,
@@ -46,8 +71,8 @@ def test_reverb_blocked_matches_host(rng, s, r):
     rir = rng.standard_normal(r).astype(np.float32)
     rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
     fft = MatmulFFT.for_block(r, target=2048)
-    spec = np.zeros((4, fft.n), np.complex64)
-    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    spec = np.zeros((4, fft.nh), np.complex64)
+    spec[0] = fft.spectrum_mat_half(rir).reshape(-1)
     out = np.asarray(reverb_batch_blocked(
         KEY, jnp.asarray(wave), jnp.asarray([s, s - 777]),
         fft, jnp.asarray(spec.real, jnp.float32),
@@ -71,8 +96,8 @@ def test_reverb_blocked_default_precision_bound(rng):
     rir = rng.standard_normal(r).astype(np.float32)
     rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
     fft = MatmulFFT.for_block(r, target=2048, precision="default")
-    spec = np.zeros((4, fft.n), np.complex64)
-    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    spec = np.zeros((4, fft.nh), np.complex64)
+    spec[0] = fft.spectrum_mat_half(rir).reshape(-1)
     out = np.asarray(reverb_batch_blocked(
         KEY, jnp.asarray(wave), jnp.asarray([s]),
         fft, jnp.asarray(spec.real, jnp.float32),
@@ -91,9 +116,9 @@ def _small_aug(rng, precision="high", n_noise=3, n_rirs=2,
     rirs = rng.standard_normal((max(n_rirs, 1), 200)).astype(np.float32)
     rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
     fft = MatmulFFT.for_block(200, target=1024, precision=precision)
-    spec = np.zeros((8, fft.n), np.complex64)
+    spec = np.zeros((8, fft.nh), np.complex64)
     for i in range(n_rirs):
-        spec[i] = fft.spectrum_mat(rirs[i]).reshape(-1)
+        spec[i] = fft.spectrum_mat_half(rirs[i]).reshape(-1)
     rows = np.zeros((16, out_len), np.float32)
     for i in range(n_noise):
         rows[i] = (rng.standard_normal(out_len) * 200).astype(np.float32)
@@ -219,12 +244,35 @@ def test_matmul_fft_matches_numpy(rng):
     np.testing.assert_allclose(np.asarray(im2), ref2.imag, atol=1e-3)
 
 
+def test_rfft_half_spectrum_roundtrip(rng):
+    """Hermitian half path: rfft_mat matches np.fft on the kept rows
+    and irfft_mat_real reconstructs the signal EXACTLY (the mirror
+    rows' contribution is folded in as 2x weights — a symmetry, not an
+    approximation), including the lane-padded zero-weight rows."""
+    for a, b in [(320, 4), (16, 12), (256, 6)]:
+        fft = MatmulFFT(a, b, precision="highest")
+        x = rng.standard_normal((2, fft.n)).astype(np.float32)
+        xm = x.reshape(2, a, b)
+        re, im = fft.rfft_mat(jnp.asarray(xm))
+        ref = fft.spectrum_mat(x)
+        keep = min(fft.ah, a // 2 + 1)
+        np.testing.assert_allclose(
+            np.asarray(re)[:, :keep], ref.real[:, :keep], atol=2e-3)
+        np.testing.assert_allclose(
+            np.asarray(im)[:, :keep], ref.imag[:, :keep], atol=2e-3)
+        half = fft.spectrum_mat_half(x)
+        back = fft.irfft_mat_real(
+            jnp.asarray(half.real, jnp.float32),
+            jnp.asarray(half.imag, jnp.float32))
+        np.testing.assert_allclose(np.asarray(back), xm, atol=2e-4)
+
+
 def _rir_setup(rng, s, r, pad_rows=4):
     rir = rng.standard_normal(r).astype(np.float32)
     rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
     fft = MatmulFFT.for_length(s + r - 1)
-    spec = np.zeros((pad_rows, fft.n), np.complex64)
-    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    spec = np.zeros((pad_rows, fft.nh), np.complex64)
+    spec[0] = fft.spectrum_mat_half(rir).reshape(-1)
     return rir, fft, (jnp.asarray(spec.real, jnp.float32),
                       jnp.asarray(spec.imag, jnp.float32))
 

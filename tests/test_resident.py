@@ -214,8 +214,8 @@ def test_resident_training_with_device_aug():
 
     out_len = int(np.ceil(4000 / 0.9))
     fft = MatmulFFT.for_length(out_len + len(rir) - 1)
-    spec = np.zeros((8, fft.n), np.complex64)
-    spec[0] = fft.spectrum_mat(rir).reshape(-1)
+    spec = np.zeros((8, fft.nh), np.complex64)
+    spec[0] = fft.spectrum_mat_half(rir).reshape(-1)
     rows = np.zeros((16, out_len), np.float32)
     for i in range(3):
         rows[i] = np.resize(noise_bank[i], (out_len,))

@@ -51,9 +51,9 @@ def build_aug(precision: str, blocked: bool, stages=("s", "r", "n"),
     else:
         fft = MatmulFFT.for_length(out_len + 4000 - 1, precision=precision)
         rir_len = 0
-    spec = np.zeros((512, fft.n), np.complex64)
+    spec = np.zeros((512, fft.nh), np.complex64)
     for i in range(20):
-        spec[i] = fft.spectrum_mat(rirs[i]).reshape(-1)
+        spec[i] = fft.spectrum_mat_half(rirs[i]).reshape(-1)
     return DeviceWaveAug(
         speed_perturb="s" in stages, speeds=(0.9, 1.0, 1.1),
         fft=fft,

@@ -149,6 +149,55 @@ def _resample_one(waves: jnp.ndarray, p: int, q: int,
     return out[:, :out_len]
 
 
+def speed_perturb_group(
+    waves: jnp.ndarray,
+    lengths: jnp.ndarray,
+    speeds: Tuple[float, ...] = (0.9, 1.0, 1.1),
+    out_len: Optional[int] = None,
+    method: str = "conv",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, S) -> (B, S_out): speed assigned by CONTIGUOUS ROW GROUP
+    (rows [0, B/k) get speeds[0], ...) instead of per-row draws.
+
+    Each group resamples ONLY its own speed — 3x less polyphase work
+    and zero select passes vs the per-row version, which must compute
+    every candidate for every row and blend with wheres (measured
+    ~2.8 ms of the r5 flagship aug step).  Documented statistical
+    deviation from the reference's per-sample iid draw
+    (processor.py:106-131): within one step the speed counts are fixed
+    (floor/ceil of B/k) and a sample's speed is determined by its slot
+    — but the epoch shuffle re-randomizes slots every epoch, so the
+    per-sample marginal over epochs is uniform over ``speeds``, like
+    the reference.  Convergence-gated A/B vs the host chain
+    (PERF.md r5)."""
+    b, s = waves.shape
+    k = len(speeds)
+    if out_len is None:
+        out_len = int(np.ceil(s / min(speeds)))
+    base, rem = divmod(b, k)
+    outs, lens = [], []
+    start = 0
+    for i, sp in enumerate(speeds):
+        g = base + (1 if i < rem else 0)
+        seg = waves[start:start + g].astype(jnp.float32)
+        seglen = lengths[start:start + g]
+        if sp == 1.0:
+            cand = seg if s >= out_len else jnp.pad(
+                seg, ((0, 0), (0, out_len - s)))
+            cand = cand[:, :out_len]
+            nl = seglen
+        else:
+            p, q, m = _polyphase_matrix(sp)
+            cand = _resample_one(seg, p, q, m, out_len, method)
+            frac = Fraction(sp).limit_denominator(100)
+            nl = seglen * frac.denominator // frac.numerator
+        mask = jnp.arange(out_len)[None, :] < nl[:, None]
+        outs.append(cand * mask)
+        lens.append(nl.astype(jnp.int32))
+        start += g
+    return jnp.concatenate(outs, axis=0), jnp.concatenate(lens)
+
+
 def speed_perturb_batch(
     rng: jax.Array,
     waves: jnp.ndarray,
@@ -237,6 +286,45 @@ class MatmulFFT:
         self.wac_re, self.wac_im = dev(wa.real.T), dev(-wa.imag.T)
         self.wbc_re, self.wbc_im = dev(wb.real), dev(-wb.imag)
         self.eye_b = dev(np.eye(b))
+        # -- Hermitian (real-input) half spectrum ------------------------
+        # A real signal's spectrum satisfies X[n-k] = conj(X[k]); in the
+        # (k1, k2) layout the mirror of row k1 is row a-k1 (with the k2
+        # axis reversed), so rows k1 in [0, a/2] carry the whole
+        # spectrum.  ``ah`` keeps a/2+1 rows rounded UP to a multiple of
+        # 64 (lane-tiling: a ragged kept-row dim would turn every
+        # reshape into a layout copy); the surplus rows carry zero
+        # inverse weight.  Mirror-row contributions in the inverse
+        # reduce to 2*Re(term) (derivation: t[a-k1, n2] =
+        # W_b^{n2} conj(t[k1, n2]) and the trailing factor cancels
+        # against the twiddle), so the inverse is EXACT — halving is a
+        # symmetry, not an approximation.
+        if a % 2 == 0:
+            ah_min = a // 2 + 1
+            self.ah = min(a, 64 * (-(-ah_min // 64)))
+            # Hermitian inverse weights: row 0 and the Nyquist row a/2
+            # count once, interior kept rows twice (their mirrors are
+            # dropped), surplus lane-padding rows zero.  The same rule
+            # holds when ah == a because spectrum_mat_half zeroes the
+            # mirror rows of the staged banks.
+            wgt = np.zeros((self.ah,), np.float64)
+            wgt[0] = 1.0
+            wgt[1:a // 2] = 2.0
+            wgt[a // 2] = 1.0
+            self.wah_re = dev(wa.real[:, :self.ah])
+            self.wah_im = dev(wa.imag[:, :self.ah])
+            self.twTh_re = dev(tw.real.T[:, :self.ah])
+            self.twTh_im = dev(tw.imag.T[:, :self.ah])
+            self.twh_re = dev(tw.real[:self.ah])
+            self.twh_im = dev(tw.imag[:self.ah])
+            self.wach_re = dev(wa.real.T[:self.ah] * wgt[:, None])
+            self.wach_im = dev(-wa.imag.T[:self.ah] * wgt[:, None])
+        else:
+            self.ah = None
+
+    @property
+    def nh(self) -> int:
+        """Flattened half-spectrum width (ah * b)."""
+        return self.ah * self.b
 
     def _swap(self, xre, xim, wre, wim, imag: bool = True):
         """Contract dim 1 of (B, u, v) against (u, u') -> (B, v, u').
@@ -297,12 +385,46 @@ class MatmulFFT:
         out, _ = self._swap(z, None, self.eye_b, None, imag=False)
         return out                        # (B, n1, n2)
 
+    def rfft_mat(self, x):
+        """Real input (B, a, b) [n1, n2] -> HALF spectrum
+        (B, ah, b) [k1, k2], rows k1 >= a/2+1 unspecified (zero
+        inverse weight)."""
+        tre, tim = self._swap(x, None, self.wah_re, self.wah_im)
+        tre, tim = (tre * self.twTh_re - tim * self.twTh_im,
+                    tre * self.twTh_im + tim * self.twTh_re)
+        return self._swap(tre, tim, self.wb_re, self.wb_im)
+
+    def irfft_mat_real(self, xre, xim):
+        """(B, ah, b) HALF spectrum -> (B, a, b) real [n1, n2] —
+        exact for Hermitian data: the dropped mirror rows contribute
+        the conjugate of the kept rows, folded in as the 2x weights
+        baked into ``wach``."""
+        tre, tim = self._minor(xre, xim, self.wbc_re, self.wbc_im)
+        tre, tim = (tre * self.twh_re + tim * self.twh_im,
+                    tim * self.twh_re - tre * self.twh_im)
+        ore, _ = self._swap(tre, None, self.wach_re, None, imag=False)
+        oim, _ = self._swap(tim, None, self.wach_im, None, imag=False)
+        z = (ore - oim) / self.n          # (B, n2, n1)
+        out, _ = self._swap(z, None, self.eye_b, None, imag=False)
+        return out                        # (B, n1, n2)
+
     def spectrum_mat(self, x: np.ndarray) -> np.ndarray:
         """Host-side: np.fft.fft(x, n) rearranged to the [k1, k2]
         matrix layout (k = k1 + a*k2 -> reshape (b, a), swap axes)."""
         flat = np.fft.fft(x, self.n, axis=-1)
         return np.swapaxes(
             flat.reshape(x.shape[:-1] + (self.b, self.a)), -1, -2)
+
+    def spectrum_mat_half(self, x: np.ndarray) -> np.ndarray:
+        """Host-side half-spectrum bank rows: spectrum_mat truncated to
+        the kept ``ah`` k1 rows, surplus rows zeroed (so they multiply
+        the forward's unspecified rows to zero in the pointwise
+        product)."""
+        full = self.spectrum_mat(x)
+        half = np.zeros(x.shape[:-1] + (self.ah, self.b), np.complex64)
+        keep = min(self.ah, self.a // 2 + 1)
+        half[..., :keep, :] = full[..., :keep, :]
+        return half
 
     @classmethod
     def for_length(cls, min_n: int, precision: str = "high") -> "MatmulFFT":
@@ -347,7 +469,7 @@ def reverb_batch(
     waves: jnp.ndarray,
     lengths: jnp.ndarray,
     fft: MatmulFFT,
-    rir_re: jnp.ndarray,  # (Rpad, a*b) spectrum rows, zero-padded
+    rir_re: jnp.ndarray,  # (Rpad, ah*b) HALF-spectrum rows, zero-padded
     rir_im: jnp.ndarray,
     n_rirs: int,
     prob: float,
@@ -357,25 +479,30 @@ def reverb_batch(
     The per-row pick is a one-hot matmul over the ZERO-PADDED bank:
     Rpad >= 512 keeps the contraction dimension out of this backend's
     small-K matmul pathology (a K=50 pick ran at ~1 GB/s, K=512 at
-    MXU rate — PERF.md r4)."""
+    MXU rate — PERF.md r4).  Banks and the whole transform pipeline
+    live on the HERMITIAN HALF grid (real input => mirror rows are
+    conjugates): ~40% less DFT/pick/pointwise work, exactly
+    (MatmulFFT.rfft_mat / irfft_mat_real; bank rows from
+    spectrum_mat_half)."""
     b, s = waves.shape
     k1, k2 = jax.random.split(rng)
     rpad = rir_re.shape[0]
+    assert rir_re.shape[1] == fft.nh, (rir_re.shape, fft.nh)
     pick = jax.random.randint(k1, (b,), 0, n_rirs)
     onehot = jax.nn.one_hot(pick, rpad, dtype=jnp.float32)
     hp = fft.precision
     rre = jnp.einsum("xr,rs->xs", onehot, rir_re,
-                     precision=hp).reshape(b, fft.a, fft.b)
+                     precision=hp).reshape(b, fft.ah, fft.b)
     rim = jnp.einsum("xr,rs->xs", onehot, rir_im,
-                     precision=hp).reshape(b, fft.a, fft.b)
+                     precision=hp).reshape(b, fft.ah, fft.b)
     pad = jnp.zeros((b, fft.n - s), jnp.float32)
     x = jnp.concatenate(
         [waves.astype(jnp.float32), pad], axis=1
     ).reshape(b, fft.a, fft.b)
-    wre, wim = fft.fft_mat(x)
+    wre, wim = fft.rfft_mat(x)
     pre = wre * rre - wim * rim
     pim = wre * rim + wim * rre
-    out = fft.ifft_mat_real(pre, pim).reshape(b, fft.n)[:, :s]
+    out = fft.irfft_mat_real(pre, pim).reshape(b, fft.n)[:, :s]
     apply = (jax.random.uniform(k2, (b,)) < prob)[:, None]
     mask = jnp.arange(s)[None, :] < lengths[:, None]
     return jnp.where(apply, out.astype(waves.dtype) * mask, waves)
@@ -419,15 +546,16 @@ def reverb_batch_blocked(
         f"block {n_blk} too short for rir_len {r}: history spans "
         "more than one previous block"
     )
+    assert rir_re.shape[1] == fft.nh, (rir_re.shape, fft.nh)
     k1, k2 = jax.random.split(rng)
     rpad = rir_re.shape[0]
     pick = jax.random.randint(k1, (b,), 0, n_rirs)
     onehot = jax.nn.one_hot(pick, rpad, dtype=jnp.float32)
     hp = fft.precision
     rre = jnp.einsum("xr,rs->xs", onehot, rir_re,
-                     precision=hp).reshape(b, 1, fft.a, fft.b)
+                     precision=hp).reshape(b, 1, fft.ah, fft.b)
     rim = jnp.einsum("xr,rs->xs", onehot, rir_im,
-                     precision=hp).reshape(b, 1, fft.a, fft.b)
+                     precision=hp).reshape(b, 1, fft.ah, fft.b)
     x = waves.astype(jnp.float32)
     if nb * l_use > s:
         x = jnp.pad(x, ((0, 0), (0, nb * l_use - s)))
@@ -442,12 +570,12 @@ def reverb_batch_blocked(
         hist = zeros
     blocks = jnp.concatenate([hist, x], axis=2)  # (b, nb, n_blk)
     xm = blocks.reshape(b * nb, fft.a, fft.b)
-    wre, wim = fft.fft_mat(xm)
-    wre = wre.reshape(b, nb, fft.a, fft.b)
-    wim = wim.reshape(b, nb, fft.a, fft.b)
-    pre = (wre * rre - wim * rim).reshape(b * nb, fft.a, fft.b)
-    pim = (wre * rim + wim * rre).reshape(b * nb, fft.a, fft.b)
-    y = fft.ifft_mat_real(pre, pim).reshape(b, nb, n_blk)
+    wre, wim = fft.rfft_mat(xm)
+    wre = wre.reshape(b, nb, fft.ah, fft.b)
+    wim = wim.reshape(b, nb, fft.ah, fft.b)
+    pre = (wre * rre - wim * rim).reshape(b * nb, fft.ah, fft.b)
+    pim = (wre * rim + wim * rre).reshape(b * nb, fft.ah, fft.b)
+    y = fft.irfft_mat_real(pre, pim).reshape(b, nb, n_blk)
     out = y[:, :, r - 1:].reshape(b, nb * l_use)[:, :s]
     apply = (jax.random.uniform(k2, (b,)) < prob)[:, None]
     mask = jnp.arange(s)[None, :] < lengths[:, None]
@@ -536,14 +664,24 @@ class DeviceWaveAug:
     precision: str = "default"
     # "conv" (one strided NWC conv) or "matmul" (framing + einsum)
     speed_method: str = "conv"
+    # True: contiguous-group speed assignment (3x less work; the epoch
+    # shuffle supplies the randomness — see speed_perturb_group);
+    # False: per-row iid draws (the r4 behavior).
+    speed_partition: bool = True
 
     def __call__(self, rng, waves, lengths):
         waves = waves.astype(jnp.float32)
         if self.speed_perturb:
-            waves, lengths = speed_perturb_batch(
-                jax.random.fold_in(rng, 1), waves, lengths, self.speeds,
-                method=self.speed_method,
-            )
+            if self.speed_partition and waves.shape[0] >= len(self.speeds):
+                waves, lengths = speed_perturb_group(
+                    waves, lengths, self.speeds,
+                    method=self.speed_method,
+                )
+            else:
+                waves, lengths = speed_perturb_batch(
+                    jax.random.fold_in(rng, 1), waves, lengths,
+                    self.speeds, method=self.speed_method,
+                )
         if self.rir_re is not None and self.reverb_prob > 0:
             if self.rir_len > 0:
                 waves = reverb_batch_blocked(
@@ -631,9 +769,9 @@ class DeviceWaveAug:
                     rmax = 0  # rir_len=0 -> full-length path
                 n_rirs = len(rirs)
                 rpad = max(pad_rows, n_rirs)
-                spec = np.zeros((rpad, fft.n), np.complex64)
+                spec = np.zeros((rpad, fft.nh), np.complex64)
                 for i, r in enumerate(rirs):
-                    spec[i] = fft.spectrum_mat(
+                    spec[i] = fft.spectrum_mat_half(
                         np.asarray(r)).reshape(-1)
                 rir_re = jnp.asarray(spec.real.astype(np.float32))
                 rir_im = jnp.asarray(spec.imag.astype(np.float32))
