@@ -171,11 +171,13 @@ def bench_epoch(n_devices, mesh):
         # BENCH_AUG_PRECISION=high reproduces the r4 precision;
         # BENCH_AUG_BLOCKED=1 opts into overlap-save.
         prec = os.environ.get("BENCH_AUG_PRECISION", "default")
+        adt = os.environ.get("BENCH_AUG_DTYPE", "bfloat16")
         if os.environ.get("BENCH_AUG_BLOCKED"):
-            fft = MatmulFFT.for_block(4000, precision=prec)
+            fft = MatmulFFT.for_block(4000, precision=prec, dtype=adt)
             rir_len = 4000
         else:
-            fft = MatmulFFT.for_length(out_len + 4000 - 1, precision=prec)
+            fft = MatmulFFT.for_length(out_len + 4000 - 1,
+                                       precision=prec, dtype=adt)
             rir_len = 0
         spec = np.zeros((512, fft.nh), np.complex64)
         for i in range(20):
@@ -183,10 +185,10 @@ def bench_epoch(n_devices, mesh):
         pipeline.wave_aug = DeviceWaveAug(
             speed_perturb=True, speeds=(0.9, 1.0, 1.1),
             fft=fft,
-            rir_re=jnp.asarray(spec.real.astype(np.float32)),
-            rir_im=jnp.asarray(spec.imag.astype(np.float32)),
+            rir_re=jnp.asarray(spec.real, adt),
+            rir_im=jnp.asarray(spec.imag, adt),
             n_rirs=20, reverb_prob=0.5,
-            noise_rows=jnp.asarray(bank),
+            noise_rows=jnp.asarray(bank, adt),
             snr_lo=jnp.zeros((512,), np.float32),
             snr_hi=jnp.full((512,), 15.0, np.float32),
             n_noise_rows=n_rows, noise_prob=0.8,

@@ -109,6 +109,30 @@ def test_reverb_blocked_default_precision_bound(rng):
     assert err < 2e-2, err
 
 
+def test_reverb_bf16_chain_error_bound(rng):
+    """dtype='bfloat16' banks/intermediates (the production from_conf
+    default): reverb output stays within ~3% relative of the exact
+    convolution — augmentation-grade; parity-grade math stays on the
+    float32 instances above."""
+    s, r = 9000, 700
+    wave = (rng.standard_normal((1, s)) * 1000).astype(np.float32)
+    rir = rng.standard_normal(r).astype(np.float32)
+    rir = rir / np.sqrt(np.sum(rir.astype(np.float64) ** 2))
+    fft = MatmulFFT.for_length(s + r - 1, precision="default",
+                               dtype="bfloat16")
+    spec = np.zeros((4, fft.nh), np.complex64)
+    spec[0] = fft.spectrum_mat_half(rir).reshape(-1)
+    out = np.asarray(reverb_batch(
+        KEY, jnp.asarray(wave), jnp.asarray([s]),
+        fft, jnp.asarray(spec.real, jnp.bfloat16),
+        jnp.asarray(spec.imag, jnp.bfloat16),
+        n_rirs=1, prob=1.0))[0]
+    expected = np.convolve(
+        wave[0].astype(np.float64), rir.astype(np.float64))[:s]
+    err = np.linalg.norm(out - expected) / np.linalg.norm(expected)
+    assert err < 3e-2, err
+
+
 def _small_aug(rng, precision="high", n_noise=3, n_rirs=2,
                deterministic=False):
     """Small full-chain aug (blocked reverb) for the mesh tests."""

@@ -33,6 +33,7 @@ def build_aug(precision: str, blocked: bool, stages=("s", "r", "n"),
     from wekws_tpu.data.device_aug import DeviceWaveAug, MatmulFFT
 
     arng = np.random.default_rng(7)
+    adt = os.environ.get("BENCH_AUG_DTYPE", "float32")
     s_in = 32000
     out_len = int(np.ceil(s_in / 0.9)) if "s" in stages else s_in
     n_rows = 400
@@ -42,14 +43,15 @@ def build_aug(precision: str, blocked: bool, stages=("s", "r", "n"),
     rirs = arng.standard_normal((20, 4000))
     rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
     if blocked:
-        fft = MatmulFFT.for_block(4000, precision=precision)
+        fft = MatmulFFT.for_block(4000, precision=precision, dtype=adt)
         rir_len = 4000
     elif fft_dims is not None:
-        fft = MatmulFFT(*fft_dims, precision=precision)
+        fft = MatmulFFT(*fft_dims, precision=precision, dtype=adt)
         assert fft.n >= out_len + 4000 - 1, (fft.n, out_len)
         rir_len = 0
     else:
-        fft = MatmulFFT.for_length(out_len + 4000 - 1, precision=precision)
+        fft = MatmulFFT.for_length(out_len + 4000 - 1,
+                                   precision=precision, dtype=adt)
         rir_len = 0
     spec = np.zeros((512, fft.nh), np.complex64)
     for i in range(20):
@@ -57,10 +59,10 @@ def build_aug(precision: str, blocked: bool, stages=("s", "r", "n"),
     return DeviceWaveAug(
         speed_perturb="s" in stages, speeds=(0.9, 1.0, 1.1),
         fft=fft,
-        rir_re=jnp.asarray(spec.real.astype(np.float32)),
-        rir_im=jnp.asarray(spec.imag.astype(np.float32)),
+        rir_re=jnp.asarray(spec.real, adt),
+        rir_im=jnp.asarray(spec.imag, adt),
         n_rirs=20, reverb_prob=0.5 if "r" in stages else 0.0,
-        noise_rows=jnp.asarray(bank),
+        noise_rows=jnp.asarray(bank, adt),
         snr_lo=jnp.zeros((512,), np.float32),
         snr_hi=jnp.full((512,), 15.0, np.float32),
         n_noise_rows=n_rows, noise_prob=0.8 if "n" in stages else 0.0,

@@ -109,21 +109,23 @@ def build_aug():
     rirs = arng.standard_normal((20, 4000))
     rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
     prec = os.environ.get("BENCH_AUG_PRECISION", "default")
+    adt = os.environ.get("BENCH_AUG_DTYPE", "bfloat16")
     if os.environ.get("BENCH_AUG_BLOCKED"):
-        fft = MatmulFFT.for_block(4000, precision=prec)
+        fft = MatmulFFT.for_block(4000, precision=prec, dtype=adt)
         rir_len = 4000
     else:
-        fft = MatmulFFT.for_length(out_len + 4000 - 1, precision=prec)
+        fft = MatmulFFT.for_length(out_len + 4000 - 1,
+                                   precision=prec, dtype=adt)
         rir_len = 0
     spec = np.zeros((512, fft.nh), np.complex64)
     for i in range(20):
         spec[i] = fft.spectrum_mat_half(rirs[i]).reshape(-1)
     pipeline.wave_aug = DeviceWaveAug(
         speed_perturb=True, speeds=(0.9, 1.0, 1.1), fft=fft,
-        rir_re=jnp.asarray(spec.real.astype(np.float32)),
-        rir_im=jnp.asarray(spec.imag.astype(np.float32)),
+        rir_re=jnp.asarray(spec.real, adt),
+        rir_im=jnp.asarray(spec.imag, adt),
         n_rirs=20, reverb_prob=0.5,
-        noise_rows=jnp.asarray(bank),
+        noise_rows=jnp.asarray(bank, adt),
         snr_lo=jnp.zeros((512,), np.float32),
         snr_hi=jnp.full((512,), 15.0, np.float32),
         n_noise_rows=n_rows, noise_prob=0.8,

@@ -267,16 +267,18 @@ class MatmulFFT:
     at 3x fewer MXU passes, the production setting.
     """
 
-    def __init__(self, a: int, b: int, precision: str = "high"):
+    def __init__(self, a: int, b: int, precision: str = "high",
+                 dtype: str = "float32"):
         self.a, self.b, self.n = a, b, a * b
         self.precision = _prec(precision)
+        self.dtype = jnp.dtype(dtype)
         wa = np.exp(-2j * np.pi * np.outer(np.arange(a), np.arange(a)) / a)
         wb = np.exp(-2j * np.pi * np.outer(np.arange(b), np.arange(b)) / b)
         tw = np.exp(-2j * np.pi
                     * np.outer(np.arange(a), np.arange(b)) / self.n)
 
         def dev(x):
-            return jnp.asarray(x, jnp.float32)
+            return jnp.asarray(x, self.dtype)
 
         self.wa_re, self.wa_im = dev(wa.real), dev(wa.imag)
         self.wb_re, self.wb_im = dev(wb.real), dev(wb.imag)
@@ -427,7 +429,8 @@ class MatmulFFT:
         return half
 
     @classmethod
-    def for_length(cls, min_n: int, precision: str = "high") -> "MatmulFFT":
+    def for_length(cls, min_n: int, precision: str = "high",
+                   dtype: str = "float32") -> "MatmulFFT":
         """Smallest n = a*b >= min_n, preferring LANE-ALIGNED factors
         (both multiples of 128) when that costs <= 25% extra length:
         a non-128-multiple minor dim makes every (B, a, b) reshape in
@@ -443,12 +446,13 @@ class MatmulFFT:
                 best = (a, b)
         unaligned = (256, -(-min_n // 256))
         if best[0] * best[1] <= 1.25 * unaligned[0] * unaligned[1]:
-            return cls(best[0], best[1], precision)
-        return cls(unaligned[0], unaligned[1], precision)
+            return cls(best[0], best[1], precision, dtype)
+        return cls(unaligned[0], unaligned[1], precision, dtype)
 
     @classmethod
     def for_block(cls, rir_len: int, target: int = 8192,
-                  precision: str = "high") -> "MatmulFFT":
+                  precision: str = "high",
+                  dtype: str = "float32") -> "MatmulFFT":
         """Block DFT for overlap-save convolution with an
         ``rir_len``-tap filter: n = max(target, 2*rir_len) rounded up
         to a power of two (so the (a, b) factors stay MXU-friendly),
@@ -461,7 +465,7 @@ class MatmulFFT:
         a = 1
         while a * a < n:
             a *= 2
-        return cls(a, n // a, precision)
+        return cls(a, n // a, precision, dtype)
 
 
 def reverb_batch(
@@ -489,15 +493,15 @@ def reverb_batch(
     rpad = rir_re.shape[0]
     assert rir_re.shape[1] == fft.nh, (rir_re.shape, fft.nh)
     pick = jax.random.randint(k1, (b,), 0, n_rirs)
-    onehot = jax.nn.one_hot(pick, rpad, dtype=jnp.float32)
+    onehot = jax.nn.one_hot(pick, rpad, dtype=fft.dtype)
     hp = fft.precision
-    rre = jnp.einsum("xr,rs->xs", onehot, rir_re,
+    rre = jnp.einsum("xr,rs->xs", onehot, rir_re.astype(fft.dtype),
                      precision=hp).reshape(b, fft.ah, fft.b)
-    rim = jnp.einsum("xr,rs->xs", onehot, rir_im,
+    rim = jnp.einsum("xr,rs->xs", onehot, rir_im.astype(fft.dtype),
                      precision=hp).reshape(b, fft.ah, fft.b)
-    pad = jnp.zeros((b, fft.n - s), jnp.float32)
+    pad = jnp.zeros((b, fft.n - s), fft.dtype)
     x = jnp.concatenate(
-        [waves.astype(jnp.float32), pad], axis=1
+        [waves.astype(fft.dtype), pad], axis=1
     ).reshape(b, fft.a, fft.b)
     wre, wim = fft.rfft_mat(x)
     pre = wre * rre - wim * rim
@@ -550,19 +554,19 @@ def reverb_batch_blocked(
     k1, k2 = jax.random.split(rng)
     rpad = rir_re.shape[0]
     pick = jax.random.randint(k1, (b,), 0, n_rirs)
-    onehot = jax.nn.one_hot(pick, rpad, dtype=jnp.float32)
+    onehot = jax.nn.one_hot(pick, rpad, dtype=fft.dtype)
     hp = fft.precision
-    rre = jnp.einsum("xr,rs->xs", onehot, rir_re,
+    rre = jnp.einsum("xr,rs->xs", onehot, rir_re.astype(fft.dtype),
                      precision=hp).reshape(b, 1, fft.ah, fft.b)
-    rim = jnp.einsum("xr,rs->xs", onehot, rir_im,
+    rim = jnp.einsum("xr,rs->xs", onehot, rir_im.astype(fft.dtype),
                      precision=hp).reshape(b, 1, fft.ah, fft.b)
-    x = waves.astype(jnp.float32)
+    x = waves.astype(fft.dtype)
     if nb * l_use > s:
         x = jnp.pad(x, ((0, 0), (0, nb * l_use - s)))
     x = x.reshape(b, nb, l_use)
     # history: last r-1 samples of the previous block (zeros before
     # block 0) — a static minor-dim slice, not a gather
-    zeros = jnp.zeros((b, 1, r - 1), jnp.float32)
+    zeros = jnp.zeros((b, 1, r - 1), fft.dtype)
     if nb > 1:
         hist = jnp.concatenate(
             [zeros, x[:, :-1, l_use - (r - 1):]], axis=1)
@@ -708,7 +712,8 @@ class DeviceWaveAug:
     def from_conf(cls, conf: dict, max_wave_samples: int,
                   wave_scale: float = _INT16, data_dir: str = ".",
                   crop_variants: int = 8, pad_rows: int = 512,
-                  precision: Optional[str] = None):
+                  precision: Optional[str] = None,
+                  dtype: Optional[str] = None):
         """Build from a wekws dataset_conf (keys: speed_perturb,
         noise_source/noise_prob, reverb_source/reverb_prob) by staging
         the blobstore banks on device.  ``max_wave_samples`` bounds the
@@ -733,6 +738,12 @@ class DeviceWaveAug:
 
         if precision is None:
             precision = conf.get("device_aug_precision", "default")
+        if dtype is None:
+            # bf16 banks/DFT intermediates: halves the chain's HBM
+            # traffic; ~0.4% relative waveform error, convergence-gated
+            # A/B vs the host chain (PERF.md r5).  Override with
+            # conf key device_aug_dtype: float32.
+            dtype = conf.get("device_aug_dtype", "bfloat16")
         speeds = (0.9, 1.0, 1.1)
         out_len = int(np.ceil(max_wave_samples / min(speeds))) \
             if conf.get("speed_perturb", False) else max_wave_samples
@@ -761,11 +772,13 @@ class DeviceWaveAug:
                 # relative to utterances AND elementwise bandwidth is
                 # healthy).
                 full_n = out_len + rmax - 1
-                fft = MatmulFFT.for_block(rmax, precision=precision)
+                fft = MatmulFFT.for_block(rmax, precision=precision,
+                                          dtype=dtype)
                 if (not conf.get("reverb_block_dft", False)
                         or fft.n >= -(-full_n // 256) * 256):
                     fft = MatmulFFT.for_length(full_n,
-                                               precision=precision)
+                                               precision=precision,
+                                               dtype=dtype)
                     rmax = 0  # rir_len=0 -> full-length path
                 n_rirs = len(rirs)
                 rpad = max(pad_rows, n_rirs)
@@ -773,8 +786,8 @@ class DeviceWaveAug:
                 for i, r in enumerate(rirs):
                     spec[i] = fft.spectrum_mat_half(
                         np.asarray(r)).reshape(-1)
-                rir_re = jnp.asarray(spec.real.astype(np.float32))
-                rir_im = jnp.asarray(spec.imag.astype(np.float32))
+                rir_re = jnp.asarray(spec.real, dtype)
+                rir_im = jnp.asarray(spec.imag, dtype)
 
         noise_rows = snr_lo = snr_hi = None
         n_noise_rows = 0
@@ -800,7 +813,7 @@ class DeviceWaveAug:
                 npad = max(pad_rows, n_noise_rows)
                 bank = np.zeros((npad, out_len), np.float32)
                 bank[:n_noise_rows] = np.stack(rows)
-                noise_rows = jnp.asarray(bank)
+                noise_rows = jnp.asarray(bank, dtype)
                 snr_lo = jnp.asarray(
                     np.pad(np.asarray(los, np.float32),
                            (0, npad - n_noise_rows)))
