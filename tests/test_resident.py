@@ -199,6 +199,43 @@ def test_stage_data_list_roundtrip(tmp_path):
                         rank=0, world_size=1)
 
 
+def test_stage_arrays_force_upload_modes():
+    """force_upload wires correctly: async spawns a joinable forcer
+    (wait_uploaded returns its measured seconds), sync completes
+    inline, lazy leaves no thread — and the staged arrays are
+    byte-identical in all modes."""
+    arrays = synth_arrays(n=8)
+    lazy = stage_arrays(dict(arrays), force_upload="lazy")
+    assert lazy.upload_thread is None and lazy.upload_seconds is None
+    sync = stage_arrays(dict(arrays), force_upload="sync")
+    assert sync.upload_thread is None
+    assert sync.upload_seconds is not None and sync.upload_seconds >= 0
+    asy = stage_arrays(dict(arrays), force_upload="async")
+    up = asy.wait_uploaded()
+    assert up is not None and up >= 0
+    assert asy.upload_thread is None  # cleared by wait_uploaded
+    for k in arrays:
+        np.testing.assert_array_equal(
+            np.asarray(asy.arrays[k]), np.asarray(sync.arrays[k]))
+
+
+def test_put_chunked_matches_direct():
+    """_put_chunked (threaded enqueue + async device concat) produces
+    the same staged array as a direct device_put, with and without a
+    mesh sharding."""
+    from wekws_tpu.data.resident import _put_chunked
+    from wekws_tpu.parallel.mesh import make_mesh, replicated
+
+    rng = np.random.default_rng(0)
+    v = rng.integers(-1000, 1000, (1 << 21, 16)).astype(np.int16)
+    assert v.nbytes >= (64 << 20)  # above the chunking threshold
+    got = _put_chunked(v, threads=4)
+    np.testing.assert_array_equal(np.asarray(got), v)
+    mesh = make_mesh(1)
+    got2 = _put_chunked(v, threads=4, sharding=replicated(mesh))
+    np.testing.assert_array_equal(np.asarray(got2), v)
+
+
 def test_resident_training_with_device_aug():
     """Waveform augmentation inside the jitted resident step
     (data/device_aug.py): speed perturb grows the wave buffer, noise

@@ -31,17 +31,35 @@ def rate(nbytes, secs):
     return f"{nbytes / GB / secs:6.2f} GB/s ({secs * 1e3:8.1f} ms)"
 
 
+_SUM_FNS = {}
+
+
+def _sum_fn(shape, dtype):
+    """Pre-compiled tiny consumer per shape: the transfer-completion
+    barrier.  (Fetching a fresh slice like ``np.asarray(o[0, :1])``
+    COMPILES a new slice executable through the tunnel — seconds per
+    shape — which swamped the first version of this probe.)"""
+    import jax
+
+    key = (shape, str(dtype))
+    if key not in _SUM_FNS:
+        fn = jax.jit(lambda x: x.sum())
+        fn(jax.numpy.zeros(shape, dtype)).block_until_ready()
+        _SUM_FNS[key] = fn
+    return _SUM_FNS[key]
+
+
 def put_all(arrays):
     import jax
 
+    for a in arrays:  # warm the consumer compiles OUTSIDE the timing
+        _sum_fn(a.shape, a.dtype)
     t0 = time.perf_counter()
     out = [jax.device_put(a) for a in arrays]
+    acc = 0
     for o in out:
-        o.block_until_ready()
-    # block_until_ready can be a no-op for plain single-device arrays
-    # on this backend — force a host fetch of one element of each
-    for o in out:
-        np.asarray(o[0, :1])
+        acc = acc + _sum_fn(o.shape, o.dtype)(o)
+    np.asarray(acc)
     return time.perf_counter() - t0, out
 
 
@@ -69,11 +87,14 @@ def main():
 
     # 3. chunked with threads
     for workers in (2, 4):
+        _sum_fn(chunks[0].shape, chunks[0].dtype)
         t0 = time.perf_counter()
         with cf.ThreadPoolExecutor(workers) as ex:
             outs = list(ex.map(lambda c: jax.device_put(c), chunks))
+        acc = 0
         for o in outs:
-            np.asarray(o[0, :1])
+            acc = acc + _sum_fn(o.shape, o.dtype)(o)
+        np.asarray(acc)
         dt = time.perf_counter() - t0
         print(f"chunked {workers} threads   : {rate(nbytes, dt)}",
               flush=True)
@@ -97,8 +118,10 @@ def main():
         outs.append(jax.device_put(c))
         if i % 4 == 0:
             y = jfn(*args)
+    acc = 0
     for o in outs:
-        np.asarray(o[0, :1])
+        acc = acc + _sum_fn(o.shape, o.dtype)(o)
+    np.asarray(acc)
     np.asarray(y).reshape(-1)[:1]
     dt = time.perf_counter() - t0
     print(f"interleaved w/ steps: {rate(nbytes, dt)}", flush=True)

@@ -45,6 +45,8 @@ local shards).
 import copy
 import logging
 import random
+import threading
+import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -79,6 +81,18 @@ class ResidentCorpus:
     # without any device read-back
     host_wave_lengths: Optional[np.ndarray] = None
     sample_rate: int = 16000
+    # background upload-forcer (see stage_arrays force_upload):
+    # join()s when the corpus is fully device-resident
+    upload_thread: Optional[threading.Thread] = None
+    upload_seconds: Optional[float] = None
+
+    def wait_uploaded(self) -> Optional[float]:
+        """Block until the staged buffers are device-resident; returns
+        the measured upload seconds (None if staging was lazy)."""
+        if self.upload_thread is not None:
+            self.upload_thread.join()
+            self.upload_thread = None
+        return self.upload_seconds
 
     @property
     def nbytes(self) -> int:
@@ -220,14 +234,82 @@ def stage_data_list(
     )
 
 
+def _force_upload(corpus: "ResidentCorpus") -> None:
+    """Force the staged buffers onto the device by EXECUTING a tiny
+    program that references them.
+
+    On tunneled backends ``device_put`` + ``block_until_ready`` can
+    return before any bytes move: the upload is LAZY, deferred to the
+    first program that consumes the buffer (measured r5 — the true
+    pipe is ~30-45 MB/s, and every earlier 'staging at ~1.6 GB/s'
+    reading was the enqueue, with the real upload hiding in the
+    untimed warmup).  Running this on a background thread while the
+    main thread compiles the train step overlaps the upload with the
+    compile RPC (measured concurrent: a 15 s upload completed inside
+    a 20 s compile), so staging costs a real run ~nothing — and the
+    bench can time it honestly."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    arrs = list(corpus.arrays.values())
+
+    def touch(*xs):
+        tot = jnp.zeros((), jnp.int32)
+        for x in xs:
+            tot = tot + x.reshape(-1)[:1].astype(jnp.int32).sum()
+        return tot
+
+    y = jax.jit(touch)(*arrs)
+    np.asarray(y)
+    corpus.upload_seconds = time.perf_counter() - t0
+
+
+def _put_chunked(v: np.ndarray, threads: int, sharding=None):
+    """device_put with the host-side enqueue parallelized.
+
+    The enqueue (serialize/copy into the transport) runs ~0.5-1 GB/s
+    single-threaded and scales ~linearly with threads (measured 4.46
+    GB/s at 4 on the r5 rig), so large arrays are row-split, enqueued
+    from a thread pool and re-joined by ONE async device-side
+    concatenate — whose execution (and the lazy wire upload it forces)
+    rides the dispatch queue behind the caller's compiles instead of
+    blocking here.
+
+    Default threads=1 on THIS rig: the concatenate's jit dispatch
+    compiles synchronously (~0.6 s through the tunnel), which eats the
+    ~0.4 s the threads save (measured r5).  On backends with local
+    compilers the threaded path wins; the knob is per-call."""
+    import concurrent.futures as cf
+
+    if threads <= 1 or v.nbytes < (64 << 20) or v.shape[0] < threads:
+        return (jax.device_put(v, sharding) if sharding is not None
+                else jax.device_put(v))
+    chunks = np.array_split(v, threads, axis=0)  # views, no host copy
+    with cf.ThreadPoolExecutor(threads) as ex:
+        parts = list(ex.map(jax.device_put, chunks))
+    cat = jax.jit(lambda *xs: jnp.concatenate(xs, axis=0),
+                  out_shardings=sharding)
+    return cat(*parts)
+
+
 def stage_arrays(
     arrays: Dict[str, np.ndarray],
     mesh=None,
     keys: Optional[List[str]] = None,
     audio_seconds: Optional[float] = None,
     replicate_budget_bytes: int = REPLICATE_BUDGET_BYTES,
+    force_upload: str = "async",
+    enqueue_threads: int = 1,
 ) -> ResidentCorpus:
-    """Device-put pre-built numpy arrays as a ResidentCorpus."""
+    """Device-put pre-built numpy arrays as a ResidentCorpus.
+
+    ``force_upload``: "async" (default) starts a background thread
+    that forces the lazy tunnel upload while the caller compiles
+    (see _force_upload); "sync" blocks until resident; "lazy" keeps
+    the historical behavior (upload deferred to first use).
+    ``enqueue_threads``: parallel host-side enqueue for large arrays
+    on single-device/single-process staging (_put_chunked)."""
     n = int(arrays["waves"].shape[0])
     if "valid" not in arrays:
         arrays = dict(arrays)
@@ -238,7 +320,8 @@ def stage_arrays(
         audio_seconds = float(arrays["wave_lengths"].sum()) / sample_rate
     host_lengths: Optional[np.ndarray] = None
     if mesh is None:
-        staged = {k: jax.device_put(v) for k, v in arrays.items()}
+        staged = {k: _put_chunked(v, enqueue_threads)
+                  for k, v in arrays.items()}
         host_lengths = np.asarray(arrays["wave_lengths"])
     elif jax.process_count() > 1:
         # local shards assemble into the global sharded array; per-row
@@ -262,18 +345,31 @@ def stage_arrays(
                     for k, v in arrays.items()
                 }
                 n += pad
-        staged = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+        threads = enqueue_threads if n_dev == 1 else 1
+        staged = {k: _put_chunked(v, threads, sharding)
+                  for k, v in arrays.items()}
         host_lengths = np.asarray(arrays["wave_lengths"])
-    for v in staged.values():
-        v.block_until_ready()
+    # NOTE: no block_until_ready here — it never guaranteed residency
+    # (the tunnel upload is lazy) and WOULD block on the chunked
+    # concat.  Residency is the force_upload thread's job; timing
+    # honesty is the bench's overhang accounting.
     logging.info(
         "staged resident corpus: %d rows, %.1f audio-s, %.2f GB on device",
         n, audio_seconds, nbytes / 2**30,
     )
-    return ResidentCorpus(
+    corpus = ResidentCorpus(
         arrays=staged, n=n, audio_seconds=audio_seconds, keys=keys or [],
         host_wave_lengths=host_lengths, sample_rate=sample_rate,
     )
+    if force_upload != "lazy" and jax.process_count() == 1:
+        if force_upload == "sync":
+            _force_upload(corpus)
+        else:
+            corpus.upload_thread = threading.Thread(
+                target=_force_upload, args=(corpus,), daemon=True
+            )
+            corpus.upload_thread.start()
+    return corpus
 
 
 def make_resident_steps(trainer, mesh, steps_per_epoch: int):
