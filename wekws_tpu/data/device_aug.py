@@ -11,32 +11,39 @@ same math batched on device, so augmented corpora can train through
 the device-resident epoch path at device rate with zero steady-state
 host work.
 
-EVERYTHING IS MATMULS, STRIDED SLICES AND ELEMENTWISE — no gathers,
-no transposes.  The first draft used take_along_axis / fancy-indexed
-row picks / a flatten-transpose in the DFT; measured on the real
-chip, those gathers ran at ~100-250 MB/s (three orders of magnitude
-below HBM) and one augmented step cost 834 ms vs 6 ms for the whole
-train step.  The TPU-native formulations (PERF.md r4 'Device-side
-augmentation'):
+EVERYTHING IS MATMULS/CONVS, STRIDED SLICES AND ELEMENTWISE — no
+gathers, no transposes.  The first draft used take_along_axis /
+fancy-indexed row picks / a flatten-transpose in the DFT; measured on
+the real chip, those gathers ran at ~100-250 MB/s (three orders of
+magnitude below HBM) and one augmented step cost 834 ms vs 6 ms for
+the whole train step.  The TPU-native formulations, as evolved
+through the r4/r5 device traces (PERF.md 'Device-side augmentation'
+sections — the full chain went 44.6k -> 80.4k delivered audio-s/s
+over round 5):
 
-* speed perturb -> POLYPHASE: for rational speed p/q, q outputs
-  consume p inputs with q fixed fractional phases, so resampling is
-  W strided slices + one (W, q) matmul per speed, and the per-row
-  random speed is a 3-way select;
+* speed perturb -> one strided NWC ``conv_general_dilated`` per speed
+  (window = the (p+2, q) polyphase interpolation matrix, stride p) —
+  no framing buffers; speeds are assigned per CONTIGUOUS ROW GROUP
+  (speed_perturb_group) so each group resamples only its own speed,
+  with the epoch shuffle supplying the randomness (per-row iid draws
+  remain available as speed_perturb_batch);
 * noise/RIR pick -> ONE-HOT MATMUL: onehot(pick) @ bank rides the
-  MXU; the random crop is a scalar-offset lax.dynamic_slice into a
-  pre-tiled bank (one crop offset per STEP, not per row — documented
-  deviation, statistically immaterial for augmentation);
+  MXU; noise crop variants are pre-tiled into bank ROWS so the row
+  pick covers clip AND crop; banks zero-pad to >= 512 rows (small-K
+  picks run ~1 GB/s on this backend, K=512 at MXU rate);
 * DFT -> four-step Cooley-Tukey in a FIXED (a, b) matrix layout for
-  both directions (forward emits [k1, k2], the inverse consumes it),
-  so no flatten-transpose ever materializes;
-* reverb -> OVERLAP-SAVE on a block DFT ~2x the longest RIR (r5):
-  the picked spectrum is RIR-scale instead of utterance-scale, which
-  shrinks the pick matmul and the staged bank ~5x at the flagship
-  shape; block framing is a reshape + one static tail slice;
-* precision "default" (1-pass bf16, f32 accumulation) on every DFT/
-  pick matmul: 3x fewer MXU passes than the r4 "high" (bf16_3x) at
-  ~2e-3 relative error — inaudible under augmentation and
+  both directions (forward emits [k1, k2], the inverse consumes it;
+  factors chosen lane-aligned so reshapes are free), on the HERMITIAN
+  HALF grid for the real-signal pipeline (rfft_mat/irfft_mat_real:
+  mirror rows fold into 2x inverse weights — exact, ~40% less work);
+* reverb -> full-utterance DFT by default; OVERLAP-SAVE on a ~2x-RIR
+  block grid available (reverb_block_dft) — measured slower here
+  (block framing passes outweigh the smaller pick) but wins when
+  utterances are long relative to the RIR on bandwidth-healthy
+  backends;
+* precision "default" (1-pass bf16 matmuls, f32 accumulation) and
+  bf16 banks/DFT intermediates: ~0.4% relative waveform error —
+  inaudible under augmentation, error-bounded in tests and
   convergence-gated A/B vs the host chain (PERF.md r5).
 
 Math parity with the host stages (pinned in tests/test_device_aug.py):
