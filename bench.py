@@ -164,12 +164,14 @@ def bench_epoch(n_devices, mesh):
                          * 300).astype(np.float32)
         rirs = arng.standard_normal((20, 4000))
         rirs /= np.sqrt((rirs ** 2).sum(1, keepdims=True))
-        # r5 production layout: full-utterance DFT + 1-pass bf16
-        # matmuls (49.3k vs 44.6k r4 delivered; the overlap-save
-        # block variant measured 37.6k in-chain — its framing passes
-        # outweigh the smaller pick on this backend, PERF.md r5).
-        # BENCH_AUG_PRECISION=high reproduces the r4 precision;
-        # BENCH_AUG_BLOCKED=1 opts into overlap-save.
+        # r5 production layout (PERF.md r5 'Device-aug chain',
+        # 44.6k -> 80.4k delivered): full-utterance HERMITIAN DFT on
+        # lane-aligned factors, 1-pass bf16 matmuls, bf16 banks,
+        # NWC-conv + group-partitioned speed.  BENCH_AUG_PRECISION /
+        # BENCH_AUG_DTYPE / BENCH_AUG_BLOCKED reproduce the
+        # alternatives (the overlap-save block variant measured
+        # slower in-chain here - framing passes outweigh its smaller
+        # pick).
         prec = os.environ.get("BENCH_AUG_PRECISION", "default")
         adt = os.environ.get("BENCH_AUG_DTYPE", "bfloat16")
         if os.environ.get("BENCH_AUG_BLOCKED"):
