@@ -299,7 +299,11 @@ def roofline(fn, args, step_seconds, n_devices):
         "step_gflops": round(flops / 1e9 / n_devices, 2),
         # cost-model bytes: every buffer access, including VMEM-resident
         # reuse inside fusions — an UPPER BOUND on true HBM traffic
-        # (the ratio to HBM peak can exceed 1; see PERF.md roofline)
+        # (the ratio to HBM peak can exceed 1).  The r5 MEASURED
+        # per-op trace (tools/profile_step.py, PERF.md 'Measured
+        # per-op roofline') shows the flagship's working set is
+        # VMEM-resident (per-op access 1.8-2.4 TB/s) — treat this
+        # field as a bound, not a utilization claim.
         "step_gbytes_bound": round(bytes_accessed / 1e9 / n_devices, 3),
         "achieved_tflops": round(
             flops / step_seconds / 1e12 / n_devices, 2),
