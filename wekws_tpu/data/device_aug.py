@@ -49,9 +49,10 @@ over round 5):
 Math parity with the host stages (pinned in tests/test_device_aug.py):
 
 * speed_perturb: sox 'speed' via linear interpolation, new length =
-  floor(len / speed) (data/audio.py:58-76); polyphase positions are
-  exact rationals vs the host's f64 float positions (<= 1e-11-sample
-  drift over a 2 s utterance).
+  floor(len * q / p) — EXACT integers on host and device alike
+  (data/audio.py speed_perturb; pinned over a 4000-length sweep);
+  polyphase positions are exact rationals vs the host's f64 float
+  positions (<= 1e-11-sample drift over a 2 s utterance).
 * add_reverb: linear convolution with an L2-normalized RIR truncated
   to the input length (processor.py:126-157), exact for any DFT
   length n >= S + R - 1.
