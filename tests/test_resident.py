@@ -236,10 +236,12 @@ def test_put_chunked_matches_direct():
     np.testing.assert_array_equal(np.asarray(got2), v)
 
 
-def test_resident_training_with_device_aug():
+@pytest.mark.parametrize("bank_dtype", ["float32", "bfloat16"])
+def test_resident_training_with_device_aug(bank_dtype):
     """Waveform augmentation inside the jitted resident step
     (data/device_aug.py): speed perturb grows the wave buffer, noise
-    and reverb mix from staged banks, and training still learns."""
+    and reverb mix from staged banks, and training still learns —
+    with f32 AND the production bf16 banks/DFT intermediates."""
     from wekws_tpu.data.device_aug import DeviceWaveAug
 
     rng_np = np.random.default_rng(5)
@@ -250,7 +252,8 @@ def test_resident_training_with_device_aug():
     from wekws_tpu.data.device_aug import MatmulFFT
 
     out_len = int(np.ceil(4000 / 0.9))
-    fft = MatmulFFT.for_length(out_len + len(rir) - 1)
+    fft = MatmulFFT.for_length(out_len + len(rir) - 1,
+                               precision="default", dtype=bank_dtype)
     spec = np.zeros((8, fft.nh), np.complex64)
     spec[0] = fft.spectrum_mat_half(rir).reshape(-1)
     rows = np.zeros((16, out_len), np.float32)
@@ -259,10 +262,10 @@ def test_resident_training_with_device_aug():
     aug = DeviceWaveAug(
         speed_perturb=True, speeds=(0.9, 1.0, 1.1),
         fft=fft,
-        rir_re=jnp.asarray(spec.real, jnp.float32),
-        rir_im=jnp.asarray(spec.imag, jnp.float32),
+        rir_re=jnp.asarray(spec.real, bank_dtype),
+        rir_im=jnp.asarray(spec.imag, bank_dtype),
         n_rirs=1, reverb_prob=0.5,
-        noise_rows=jnp.asarray(rows),
+        noise_rows=jnp.asarray(rows, bank_dtype),
         snr_lo=jnp.full((16,), 5.0),
         snr_hi=jnp.full((16,), 15.0),
         n_noise_rows=3, noise_prob=0.7, power_scale=1.0 / 32768.0,
