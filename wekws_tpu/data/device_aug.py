@@ -495,12 +495,30 @@ def reverb_batch(
     live on the HERMITIAN HALF grid (real input => mirror rows are
     conjugates): ~40% less DFT/pick/pointwise work, exactly
     (MatmulFFT.rfft_mat / irfft_mat_real; bank rows from
-    spectrum_mat_half)."""
+    spectrum_mat_half).
+
+    (A prob==0.5 even/odd row partition that halves the DFT work was
+    measured NEUTRAL in-chain — the interleave extract + re-stack
+    passes cost what the skipped transforms saved — and was reverted
+    to keep per-row semantics; PERF.md r5.)"""
     b, s = waves.shape
     k1, k2 = jax.random.split(rng)
-    rpad = rir_re.shape[0]
     assert rir_re.shape[1] == fft.nh, (rir_re.shape, fft.nh)
-    pick = jax.random.randint(k1, (b,), 0, n_rirs)
+    mask = jnp.arange(s)[None, :] < lengths[:, None]
+    if prob >= 1.0:
+        out = _reverb_rows(k1, waves, fft, rir_re, rir_im, n_rirs)
+        return out.astype(waves.dtype) * mask
+    out = _reverb_rows(k1, waves, fft, rir_re, rir_im, n_rirs)
+    apply = (jax.random.uniform(k2, (b,)) < prob)[:, None]
+    return jnp.where(apply, out.astype(waves.dtype) * mask, waves)
+
+
+def _reverb_rows(rng, waves, fft, rir_re, rir_im, n_rirs):
+    """DFT-convolve EVERY row with a per-row random RIR pick (no
+    probability logic, no masking)."""
+    b, s = waves.shape
+    rpad = rir_re.shape[0]
+    pick = jax.random.randint(rng, (b,), 0, n_rirs)
     onehot = jax.nn.one_hot(pick, rpad, dtype=fft.dtype)
     hp = fft.precision
     rre = jnp.einsum("xr,rs->xs", onehot, rir_re.astype(fft.dtype),
@@ -514,10 +532,7 @@ def reverb_batch(
     wre, wim = fft.rfft_mat(x)
     pre = wre * rre - wim * rim
     pim = wre * rim + wim * rre
-    out = fft.irfft_mat_real(pre, pim).reshape(b, fft.n)[:, :s]
-    apply = (jax.random.uniform(k2, (b,)) < prob)[:, None]
-    mask = jnp.arange(s)[None, :] < lengths[:, None]
-    return jnp.where(apply, out.astype(waves.dtype) * mask, waves)
+    return fft.irfft_mat_real(pre, pim).reshape(b, fft.n)[:, :s]
 
 
 def reverb_batch_blocked(
