@@ -617,3 +617,114 @@ def test_four_process_endurance(tmp_path):
         assert line, out[-2000:]
         digests.append(line[0])
     assert len(set(digests)) == 1, digests
+
+
+RESIDENT_AUG_WORKER = r'''
+import os, sys, hashlib
+pid = int(sys.argv[1])
+port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+sys.path.insert(0, %(repo)r)
+import numpy as np
+import jax.numpy as jnp
+from __graft_entry__ import (DATASET_CONF, FLAGSHIP_MODEL_CONF,
+                             _make_dryrun_aug)
+from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+from wekws_tpu.data.resident import stage_arrays
+from wekws_tpu.models import init_model
+from wekws_tpu.parallel import make_mesh
+from wekws_tpu.train import Executor, Trainer
+
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+mesh = make_mesh()
+conf = dict(DATASET_CONF, spec_aug=False)
+conf["fbank_conf"] = dict(conf["fbank_conf"], dither=0.0)
+pipe = DeviceFeaturePipeline.from_conf(conf, True)
+out_len = int(np.ceil(8000 / 0.9))
+pipe.wave_aug = _make_dryrun_aug(out_len)   # deterministic full chain
+cvp = DeviceFeaturePipeline.from_conf(conf, False)
+model = init_model(FLAGSHIP_MODEL_CONF)
+tr = Trainer(model, pipe, cvp, "max_pooling", learning_rate=1e-3,
+             grad_clip=5.0, min_duration=5)
+ex = Executor(tr, mesh, log_interval=10**9)
+
+# each process stages ITS shard of the same deterministic global
+# corpus; stage_arrays assembles the global sharded array
+n_global, s = 32, 8000
+rng = np.random.default_rng(11)
+t = np.arange(s) / 16000.0
+waves = (rng.standard_normal((n_global, s)) * 300).astype(np.float32)
+waves[::2] += (4000 * np.sin(2 * np.pi * 500 * t)).astype(np.float32)
+rows = slice(pid * n_global // 2, (pid + 1) * n_global // 2)
+local = {
+    "waves": np.clip(waves[rows], -32768, 32767).astype(np.int16),
+    "wave_lengths": np.full((n_global // 2,), s, np.int32),
+    "target": (np.arange(n_global)[rows] %% 2 - 1).astype(np.int32),
+    "target_lengths": np.ones((n_global // 2,), np.int32),
+}
+corpus = stage_arrays(local, mesh=mesh)
+assert corpus.n == n_global
+batch_size = 8
+example = {k: np.concatenate([v, v], axis=0)[:batch_size]
+           for k, v in local.items()}
+state = tr.init_state(jax.random.PRNGKey(5), example, mesh)
+key = jax.random.key(6, impl="rbg")
+losses = []
+for epoch in range(2):
+    state, summary = ex.train_resident(
+        state, corpus, key, 1e-3, epoch, batch_size)
+    losses.append(summary["train_loss"])
+cv = ex.cv_resident(state, corpus, batch_size)
+assert cv["utts"] == n_global, cv
+sha = hashlib.sha256()
+for leaf in jax.tree_util.tree_leaves(jax.device_get(state.params)):
+    sha.update(np.asarray(leaf).tobytes())
+print(f"MHRA_OK proc={pid} losses={losses[0]:.5f},{losses[1]:.5f} "
+      f"cv={cv['cv_loss']:.5f} sha={sha.hexdigest()[:16]}", flush=True)
+''' % {"repo": REPO}
+
+
+@pytest.mark.skipif(
+    os.environ.get("RUN_MULTIHOST") != "1",
+    reason="slow 2-process test; set RUN_MULTIHOST=1",
+)
+def test_two_process_resident_device_aug(tmp_path):
+    """Device-resident epochs WITH the device-side waveform-aug chain
+    under REAL multi-process data parallelism: per-process shard
+    staging assembles the global corpus, the aug banks ride as
+    replicated jit arguments, and both processes end bit-identical
+    (sha over params) with exact cv accounting — the multi-host
+    analog of the reference's augmented DDP training
+    (processor.py:374-430 under torchrun)."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(RESIDENT_AUG_WORKER)
+    port = free_port()
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-u", str(worker), str(i), port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}:\n{out[-3000:]}"
+        ok = [ln for ln in out.splitlines() if "MHRA_OK" in ln]
+        assert ok, out[-2000:]
+        lines.append(ok[0])
+    # losses AND final params identical across processes
+    a = lines[0].split("proc=0 ")[1]
+    b = lines[1].split("proc=1 ")[1]
+    assert a == b, (a, b)
