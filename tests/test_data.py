@@ -514,3 +514,30 @@ def test_rank_and_store_decorrelation(tmp_path, corpus):
     g1, n1, r1 = draws(1)
     assert g0 != g1, "global random stream identical across ranks"
     assert n0 != r0, "noise and reverb samplers mirror each other"
+
+
+def test_context_expansion_skip_fused_matches_unfused():
+    """The gather-free fused splice+skip == frame_skip(context_expansion)
+    exactly, across lefts/rights/skips and awkward lengths."""
+    import jax.numpy as jnp
+
+    from wekws_tpu.data.device_pipeline import (
+        context_expansion,
+        context_expansion_skip,
+        frame_skip,
+    )
+
+    rng = np.random.default_rng(9)
+    for t in (7, 30, 31, 32, 33, 100):
+        for left, right in ((2, 2), (1, 0), (0, 2), (3, 1)):
+            for skip in (2, 3, 4):
+                x = jnp.asarray(
+                    rng.standard_normal((2, t, 5)).astype(np.float32))
+                want = frame_skip(
+                    context_expansion(x, left, right), skip)
+                got = context_expansion_skip(x, left, right, skip)
+                assert got.shape == want.shape, (
+                    t, left, right, skip, got.shape, want.shape)
+                np.testing.assert_array_equal(
+                    np.asarray(got), np.asarray(want),
+                    err_msg=f"t={t} l={left} r={right} s={skip}")

@@ -76,6 +76,66 @@ def build_flagship():
     return run_steps
 
 
+def build_ctc():
+    """The FSMN-CTC bench shape (bench.py bench_ctc)."""
+    import jax
+
+    from wekws_tpu.data.device_pipeline import DeviceFeaturePipeline
+    from wekws_tpu.models import init_model
+    from wekws_tpu.parallel import make_mesh, shard_batch
+    from wekws_tpu.train import Trainer
+
+    dataset_conf = {
+        "feats_type": "fbank",
+        "fbank_conf": {"num_mel_bins": 80, "frame_shift": 10,
+                       "frame_length": 25, "dither": 1.0,
+                       "dither_mode": "wave", "precision": "default"},
+        "context_expansion": True,
+        "context_expansion_conf": {"left": 2, "right": 2},
+        "frame_skip": 3,
+        "spec_aug": True,
+        "spec_aug_conf": {"num_t_mask": 1, "num_f_mask": 1,
+                          "max_t": 20, "max_f": 10},
+    }
+    model_conf = {
+        "input_dim": 400, "output_dim": 2599, "hidden_dim": 128,
+        "dtype": "bfloat16",
+        "preprocessing": {"type": "none"},
+        "backbone": {"type": "fsmn", "input_affine_dim": 140,
+                     "num_layers": 4, "linear_dim": 250,
+                     "proj_dim": 128, "left_order": 10,
+                     "right_order": 2, "left_stride": 1,
+                     "right_stride": 1, "output_affine_dim": 140},
+        "classifier": {"type": "identity", "dropout": 0.1},
+        "activation": {"type": "identity"},
+    }
+    model = init_model(model_conf)
+    pipeline = DeviceFeaturePipeline.from_conf(dataset_conf, training=True)
+    cvp = DeviceFeaturePipeline.from_conf(dataset_conf, training=False)
+    trainer = Trainer(model, pipeline, cvp, "ctc", learning_rate=1e-3,
+                      grad_clip=5.0)
+    mesh = make_mesh()
+    b, s, u = 256, 32000, 6
+    rng = np.random.default_rng(0)
+    batch = {
+        "waves": (rng.standard_normal((b, s)) * 1000).astype(np.float32),
+        "wave_lengths": np.full((b,), s, np.int32),
+        "target": rng.integers(1, 2599, (b, u)).astype(np.int32),
+        "target_lengths": np.full((b,), u, np.int32),
+    }
+    state = trainer.init_state(jax.random.PRNGKey(0), batch, mesh)
+    db = shard_batch(batch, mesh)
+    key = jax.random.key(1, impl="rbg")
+
+    def run_steps(n):
+        nonlocal state
+        for _ in range(n):
+            state, metrics = trainer.train_step(state, db, key, 1e-3)
+        np.asarray(metrics["loss"]).reshape(-1)[:1]
+
+    return run_steps
+
+
 def build_aug():
     """Device-resident step with the full waveform-aug chain — the
     bench.py BENCH_DEVICE_AUG configuration."""
@@ -242,7 +302,7 @@ def report(modules, ops, label, top=25):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="flagship",
-                    choices=["flagship", "aug"])
+                    choices=["flagship", "aug", "ctc"])
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--out", default="")
     ap.add_argument("--top", type=int, default=25)
@@ -250,7 +310,9 @@ def main():
     import jax
 
     logdir = args.out or f"/tmp/profile_step_{args.mode}_{os.getpid()}"
-    run_steps = build_flagship() if args.mode == "flagship" else build_aug()
+    builders = {"flagship": build_flagship, "aug": build_aug,
+                "ctc": build_ctc}
+    run_steps = builders[args.mode]()
     t0 = time.perf_counter()
     run_steps(2)  # compile + warm
     print(f"warmup {time.perf_counter() - t0:.1f} s", flush=True)

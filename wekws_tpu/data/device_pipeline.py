@@ -77,6 +77,40 @@ def frame_skip(feats: jnp.ndarray, skip_rate: int = 1) -> jnp.ndarray:
     return feats[:, ::skip_rate, :]
 
 
+def context_expansion_skip(
+    feats: jnp.ndarray, left: int, right: int, skip: int
+) -> jnp.ndarray:
+    """Fused ``frame_skip(context_expansion(x))`` without gathers.
+
+    The unfused pair builds the splice with ``left+right+1`` clipped
+    index GATHERS (a ~0.1 GB/s op class on this backend), materializes
+    the full pre-skip (B, T, (l+1+r)*D) tensor (~0.8 GB at the CTC
+    bench shape) and then throws 2/3 of it away in the skip — measured
+    ~1.5 ms of the 3.8 ms FSMN-CTC step (PERF.md r5).  Here each lag
+    contributes ONE strided time slice evaluated directly at the
+    kept positions (source rows s*k + lag), plus a repeat-row-0 edge
+    for the clamped first outputs — ~4x less traffic, zero gathers,
+    identical output (pinned against the unfused pair in
+    tests/test_data.py)."""
+    b, t, d = feats.shape
+    t_keep = t - right if right > 0 else t
+    t_out = -(-t_keep // skip)
+    parts = []
+    for lag in range(-left, right + 1):
+        n_clamp = max(0, -(-(-lag) // skip)) if lag < 0 else 0
+        start = skip * n_clamp + lag
+        sl = feats[:, start::skip, :][:, : t_out - n_clamp]
+        if n_clamp:
+            head = jnp.repeat(feats[:, :1, :], n_clamp, axis=1)
+            sl = jnp.concatenate([head, sl], axis=1)
+        if sl.shape[1] < t_out:  # tail clamp (lag > 0 at short T)
+            pad = jnp.repeat(feats[:, -1:, :], t_out - sl.shape[1],
+                             axis=1)
+            sl = jnp.concatenate([sl, pad], axis=1)
+        parts.append(sl)
+    return jnp.concatenate(parts, axis=-1)
+
+
 @dataclass(eq=False)  # identity hash: instances close over jit as statics
 class DeviceFeaturePipeline:
     """Config-driven waveform -> model-input transform (jittable).
@@ -166,9 +200,16 @@ class DeviceFeaturePipeline:
                 max_t=self.spec_aug_conf.get("max_t", 50),
                 max_f=self.spec_aug_conf.get("max_f", 10),
             )
-        if self.context_left or self.context_right:
-            feats = context_expansion(
-                feats, self.context_left, self.context_right
+        if (self.context_left or self.context_right) \
+                and self.skip_rate > 1:
+            feats = context_expansion_skip(
+                feats, self.context_left, self.context_right,
+                self.skip_rate,
             )
-        feats = frame_skip(feats, self.skip_rate)
+        else:
+            if self.context_left or self.context_right:
+                feats = context_expansion(
+                    feats, self.context_left, self.context_right
+                )
+            feats = frame_skip(feats, self.skip_rate)
         return feats, self.feat_lengths(wave_lengths)
