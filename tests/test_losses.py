@@ -137,3 +137,61 @@ class TestCTC:
         assert np.isfinite(float(loss))
         with pytest.raises(ValueError):
             criterion("bogus", logits, jnp.asarray([0]), jnp.asarray([1]))
+
+
+class TestCompactCTC:
+    """ctc_loss_compact == optax.ctc_loss (values AND gradients) —
+    the V-reduced formulation must be numerically interchangeable."""
+
+    def _case(self, rng, b, t, v, u, repeated=False):
+        logits = rng.standard_normal((b, t, v)).astype(np.float32)
+        t_lens = rng.integers(max(2 * u + 2, t // 2), t + 1, (b,))
+        u_lens = rng.integers(1, u + 1, (b,))
+        labels = rng.integers(1, v, (b, u)).astype(np.int32)
+        if repeated:
+            labels[:, 1::2] = labels[:, 0:1]  # force repeats
+        logit_pad = (np.arange(t)[None, :] >= t_lens[:, None]).astype(
+            np.float32)
+        label_pad = (np.arange(u)[None, :] >= u_lens[:, None]).astype(
+            np.float32)
+        return logits, logit_pad, labels, label_pad
+
+    @pytest.mark.parametrize("repeated", [False, True])
+    def test_loss_and_grad_match_optax(self, rng, repeated):
+        import optax
+
+        from wekws_tpu.losses.ctc_compact import ctc_loss_compact
+
+        args = self._case(rng, b=5, t=37, v=29, u=6, repeated=repeated)
+
+        def total_opt(lg):
+            return optax.ctc_loss(
+                lg, jnp.asarray(args[1]), jnp.asarray(args[2]),
+                jnp.asarray(args[3])).sum()
+
+        def total_cmp(lg):
+            return ctc_loss_compact(
+                lg, jnp.asarray(args[1]), jnp.asarray(args[2]),
+                jnp.asarray(args[3])).sum()
+
+        lg = jnp.asarray(args[0])
+        lo, go = jax.value_and_grad(total_opt)(lg)
+        lc, gc = jax.value_and_grad(total_cmp)(lg)
+        np.testing.assert_allclose(float(lc), float(lo), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(go), atol=2e-5)
+
+    def test_per_sequence_values(self, rng):
+        import optax
+
+        from wekws_tpu.losses.ctc_compact import ctc_loss_compact
+
+        args = self._case(rng, b=8, t=50, v=12, u=4)
+        want = optax.ctc_loss(
+            jnp.asarray(args[0]), jnp.asarray(args[1]),
+            jnp.asarray(args[2]), jnp.asarray(args[3]))
+        got = ctc_loss_compact(
+            jnp.asarray(args[0]), jnp.asarray(args[1]),
+            jnp.asarray(args[2]), jnp.asarray(args[3]))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

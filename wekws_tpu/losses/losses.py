@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from wekws_tpu.losses.ctc_compact import ctc_loss_compact
+
 from wekws_tpu.losses.mask import padding_mask
 
 
@@ -110,7 +112,7 @@ def ctc_loss(
     u = target.shape[1]
     logit_pad = padding_mask(logit_lengths, t).astype(jnp.float32)
     label_pad = padding_mask(target_lengths, u).astype(jnp.float32)
-    per_seq = optax.ctc_loss(
+    per_seq = ctc_loss_compact(
         logits, logit_pad, target.astype(jnp.int32), label_pad,
         blank_id=blank_id,
     )
@@ -142,7 +144,7 @@ def criterion(
             t, u = logits.shape[1], target.shape[1]
             logit_pad = padding_mask(lengths, t).astype(jnp.float32)
             label_pad = padding_mask(target_lengths, u).astype(jnp.float32)
-            loss_b = optax.ctc_loss(
+            loss_b = ctc_loss_compact(
                 logits, logit_pad, target.astype(jnp.int32), label_pad,
                 blank_id=0,
             )
@@ -190,7 +192,7 @@ def criterion_per_utt(
         u = target.shape[1]
         logit_pad = padding_mask(lengths, t).astype(jnp.float32)
         label_pad = padding_mask(target_lengths, u).astype(jnp.float32)
-        loss_b = optax.ctc_loss(
+        loss_b = ctc_loss_compact(
             logits, logit_pad, target.astype(jnp.int32), label_pad,
             blank_id=0,
         )
