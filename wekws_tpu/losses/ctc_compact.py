@@ -45,6 +45,14 @@ def ctc_loss_compact(
 
     # ---- V-space reduction (the only passes over the big tensor) ----
     lse = jax.nn.logsumexp(logits.astype(f32), axis=-1)      # (B, T)
+    # NOTE: the batched GEMM makes XLA transpose-copy the logits into
+    # a batch-minor layout (~0.57 ms at the bench shape); an
+    # rhs-(B, V, U) spelling measured NEUTRAL — the copy belongs to
+    # the batched-gemm kernel's operand preference, not the einsum
+    # spelling.  Next lever would be contracting label columns out of
+    # the classifier WEIGHTS instead of the logits (avoids the big
+    # operand entirely) at the cost of a loss/classifier API coupling
+    # — deferred (PERF.md r5).
     onehot = jax.nn.one_hot(labels, v, dtype=logits.dtype)   # (B, U, V)
     lbl = jnp.einsum("btv,buv->btu", logits, onehot).astype(f32)
     logp_lbl = lbl - lse[..., None]                          # (B, T, U)
