@@ -185,9 +185,7 @@ class JaxGraphRuntime:
             elif op in ("conv", "dw_conv"):
                 cid = attrs["cache"]
                 dilation = attrs["dilation"]
-                wslot = self._w[i]["W"]
-                k = (wslot[1].shape[0] if wslot[0] == "q"
-                     else wslot[1].shape[0])
+                k = self._w[i]["W"][1].shape[0]  # taps (q or f slot)
                 pad = (k - 1) * dilation
                 ext = jnp.concatenate([state[cid], x], axis=1)
                 t_ext = ext.shape[1]

@@ -10,7 +10,6 @@ fully inside jit.
 
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import optax
 
