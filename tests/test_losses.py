@@ -195,3 +195,44 @@ class TestCompactCTC:
             jnp.asarray(args[2]), jnp.asarray(args[3]))
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_edge_cases_match_optax(self, rng):
+        """Zero-length labels (pure-blank rows), single-frame inputs,
+        and labels nearly as long as frames."""
+        import optax
+
+        from wekws_tpu.losses.ctc_compact import ctc_loss_compact
+
+        # all-blank row: every label padded
+        logits = rng.standard_normal((2, 9, 7)).astype(np.float32)
+        labels = np.ones((2, 3), np.int32)
+        label_pad = np.asarray([[1, 1, 1], [0, 1, 1]], np.float32)
+        logit_pad = np.zeros((2, 9), np.float32)
+        want = optax.ctc_loss(jnp.asarray(logits), jnp.asarray(logit_pad),
+                              jnp.asarray(labels), jnp.asarray(label_pad))
+        got = ctc_loss_compact(jnp.asarray(logits), jnp.asarray(logit_pad),
+                               jnp.asarray(labels), jnp.asarray(label_pad))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        # T == U (tight alignment, no blanks possible between labels)
+        logits = rng.standard_normal((1, 4, 6)).astype(np.float32)
+        labels = np.asarray([[1, 2, 3, 4]], np.int32)
+        zeros4 = np.zeros((1, 4), np.float32)
+        want = optax.ctc_loss(jnp.asarray(logits), jnp.asarray(zeros4),
+                              jnp.asarray(labels), jnp.asarray(zeros4))
+        got = ctc_loss_compact(jnp.asarray(logits), jnp.asarray(zeros4),
+                               jnp.asarray(labels), jnp.asarray(zeros4))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        # single frame, single label
+        logits = rng.standard_normal((1, 1, 5)).astype(np.float32)
+        labels = np.asarray([[2]], np.int32)
+        z1 = np.zeros((1, 1), np.float32)
+        want = optax.ctc_loss(jnp.asarray(logits), jnp.asarray(z1),
+                              jnp.asarray(labels), jnp.asarray(z1))
+        got = ctc_loss_compact(jnp.asarray(logits), jnp.asarray(z1),
+                               jnp.asarray(labels), jnp.asarray(z1))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
