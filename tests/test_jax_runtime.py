@@ -116,3 +116,89 @@ def test_int8_det_gate_via_jax(tmp_path):
             frr_at_fa_per_hour(det_a, fa_target)
             - frr_at_fa_per_hour(det_b, fa_target)
         ) <= 0.05
+
+
+class TestArtifactServing:
+    """Serving engines fed an exported artifact DIRECTORY instead of a
+    flax checkpoint (runtime.keyword_spotter.load_serving_model ->
+    ArtifactModelAdapter): per-frame posteriors must match the
+    checkpoint-backed engine, float and static-int8."""
+
+    def _export_from_ckpt(self, spotter_setup, tmp_path, quantize):
+        import yaml
+
+        from wekws_tpu.export import export_model
+        from wekws_tpu.models import init_model
+        from wekws_tpu.train import load_checkpoint
+
+        ckpt, config, tokens = spotter_setup
+        configs = yaml.safe_load(open(config))
+        model = init_model(configs["model"])
+        feats0 = np.zeros((1, 10, configs["model"]["input_dim"]),
+                          np.float32)
+        import jax
+
+        variables = model.init(jax.random.PRNGKey(0), feats0)
+        params, stats = load_checkpoint(ckpt, {
+            "params": jax.device_get(variables["params"]),
+            "batch_stats": jax.device_get(
+                variables.get("batch_stats", {})),
+        })
+        out_dir = str(tmp_path / "artifact")
+        export_model(model, {"params": params, "batch_stats": stats},
+                     configs, out_dir)
+        if quantize:
+            from wekws_tpu.export.quantize import quantize_artifact
+            from wekws_tpu.frontend.kaldi import (
+                FrontendConfig,
+                compute_fbank_np,
+            )
+
+            # calibrate on REALISTIC log-mel features (the observers
+            # must see the frontend's ~0-17 scale, not unit normals)
+            fb = configs["dataset_conf"]["fbank_conf"]
+            cfg = FrontendConfig(num_mel_bins=fb["num_mel_bins"],
+                                 dither=0.0)
+            rng = np.random.default_rng(0)
+            calib = [compute_fbank_np(
+                (rng.standard_normal(16000) * 500).astype(np.float64),
+                cfg) for _ in range(8)]
+            qdir = str(tmp_path / "artifact_q")
+            quantize_artifact(out_dir, qdir, calib_feats=calib)
+            return qdir
+        return out_dir
+
+    @pytest.mark.parametrize("quantize", [False, True])
+    def test_spotter_posteriors_match(self, spotter_setup, tmp_path,
+                                      rng, quantize):
+        from wekws_tpu.runtime import KeyWordSpotter
+
+        ckpt, config, tokens = spotter_setup
+        art_dir = self._export_from_ckpt(spotter_setup, tmp_path,
+                                         quantize)
+        ref = KeyWordSpotter(ckpt, config, tokens, None, threshold=0.5)
+        art = KeyWordSpotter(art_dir, config, tokens, None,
+                             threshold=0.5)
+        pcm = (rng.standard_normal(6400) * 500).astype(
+            np.int16).tobytes()
+
+        def posteriors(sp):
+            sp.reset_all()
+            seen = []
+            orig = sp.detector.process
+
+            def spy(idx, p):
+                seen.append(np.asarray(p).copy())
+                return orig(idx, p)
+
+            sp.detector.process = spy
+            for off in range(0, len(pcm), 1600):
+                sp.forward(pcm[off:off + 1600])
+            sp.detector.process = orig
+            return np.concatenate(seen, axis=0)
+
+        a = posteriors(ref)
+        b = posteriors(art)
+        assert a.shape == b.shape
+        tol = 0.05 if quantize else 1e-4
+        np.testing.assert_allclose(b, a, atol=tol)

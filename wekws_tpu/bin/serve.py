@@ -27,7 +27,11 @@ import time
 def get_args():
     parser = argparse.ArgumentParser(description="kws serving daemon")
     parser.add_argument("--config", required=True)
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument(
+        "--checkpoint", required=True,
+        help="flax checkpoint file, OR an exported artifact DIRECTORY "
+             "(model.json + weights[.int8].bin) to serve a float or "
+             "static-int8 artifact natively on the TPU")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8990)
     parser.add_argument("--streams", type=int, default=16)

@@ -324,3 +324,39 @@ class JaxGraphRuntime:
         if squeeze:
             out = out[0]
         return out, state
+
+
+class ArtifactModelAdapter:
+    """Duck-types the ``(model, variables)`` pair the batched serving
+    engines expect (``model.apply(variables, feats, cache,
+    softmax=...) -> (probs, cache)`` + ``model.init_cache(B)``),
+    backed by a JaxGraphRuntime — so ``BatchKeywordSpotter`` /
+    ``bin/serve.py`` can serve an exported artifact (float OR
+    static-int8) directly instead of a flax checkpoint.
+
+    The artifact weights close over the jitted serving step as
+    constants (they are KB-to-MB scale — far under the tunnel's
+    ~100 MB closure limit) and the cache is the runtime's state list,
+    which the engines treat as an opaque pytree."""
+
+    def __init__(self, runtime: "JaxGraphRuntime"):
+        self.rt = runtime
+        self._has_softmax = any(
+            e["op"] == "softmax" for e in runtime.ops)
+
+    def init_cache(self, batch: int):
+        return self.rt.init_state(batch)
+
+    def apply(self, variables, feats, cache, softmax: bool = False):
+        del variables  # weights live inside the runtime
+        out, state = self.rt._forward_impl(feats, list(cache))
+        if softmax and not self._has_softmax:
+            out = jax.nn.softmax(out, axis=-1)
+        return out, state
+
+
+def load_artifact_model(model_dir: str):
+    """(model-like, variables) from an exported artifact directory —
+    the artifact-backed twin of runtime.keyword_spotter
+    .load_spotter_model."""
+    return ArtifactModelAdapter(JaxGraphRuntime(model_dir)), {}

@@ -58,7 +58,7 @@ from wekws_tpu.runtime.keyword_spotter import (
     StreamDetector,
     build_keyword_tables,
     load_spotter_config,
-    load_spotter_model,
+    load_serving_model,
 )
 from wekws_tpu.runtime.streaming_frontend import StreamingFrontend
 from wekws_tpu.text.tokenizer import read_lexicon, read_token
@@ -365,7 +365,7 @@ class BatchKeywordSpotter(_BatchedStreamEngine):
         self._frontend_args = (cfg, left, right, downsampling)
         self.feat_dim = cfg.feat_dim * (left + 1 + right)
 
-        self.model, self._variables = load_spotter_model(
+        self.model, self._variables = load_serving_model(
             configs, ckpt_path, self.feat_dim
         )
 
@@ -630,7 +630,7 @@ class BatchMaxPoolSpotter(_BatchedStreamEngine):
         self._frontend_args = (cfg, left, right, downsampling)
         self.feat_dim = cfg.feat_dim * (left + 1 + right)
 
-        self.model, self._variables = load_spotter_model(
+        self.model, self._variables = load_serving_model(
             configs, ckpt_path, self.feat_dim
         )
         num_keywords = int(configs["model"]["output_dim"])

@@ -188,6 +188,22 @@ def load_spotter_config(config_path: str):
     return configs, cfg, left, right, downsampling
 
 
+def load_serving_model(configs: dict, ckpt_path: str, feat_dim: int):
+    """Model for a serving engine: a flax checkpoint file, OR an
+    exported artifact DIRECTORY (model.json + weights[.int8].bin —
+    export/jax_runtime.ArtifactModelAdapter), so float and static-int8
+    artifacts serve through the same engines with no re-export."""
+    import os
+
+    if os.path.isdir(ckpt_path) and os.path.exists(
+            os.path.join(ckpt_path, "model.json")):
+        from wekws_tpu.export.jax_runtime import load_artifact_model
+
+        logging.info("serving graph artifact %s", ckpt_path)
+        return load_artifact_model(ckpt_path)
+    return load_spotter_model(configs, ckpt_path, feat_dim)
+
+
 def load_spotter_model(configs: dict, ckpt_path: str, feat_dim: int):
     """Build the model + load checkpoint; returns (model, variables)."""
     import jax
@@ -232,7 +248,7 @@ class KeyWordSpotter:
         self.downsampling = downsampling
         self.frontend = StreamingFrontend(cfg, left, right, downsampling)
 
-        self.model, self._variables = load_spotter_model(
+        self.model, self._variables = load_serving_model(
             configs, ckpt_path, cfg.feat_dim * (left + 1 + right)
         )
 
@@ -242,9 +258,11 @@ class KeyWordSpotter:
             )
         )
         self._fused_init_cache = None
-        if use_fused:
+        if use_fused and hasattr(self.model, "backbone"):
             # whole-backbone Pallas kernel (MDTC serving: 1.3-1.8x
             # lower latency, PERF.md); falls back when unsupported
+            # (incl. artifact-backed models, which have no flax
+            # backbone to extract weights from)
             from wekws_tpu.ops.serving import build_fused_stream
 
             fused = build_fused_stream(
